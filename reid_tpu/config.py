@@ -1,0 +1,130 @@
+"""Typed config tree shared by all entry points.
+
+Replaces the reference's per-script argparse flag soup
+(`reid/image_reid_train.py:559-592`, `reid/image_reid_inference.py:138-158`,
+`modification_tracking/track_yolov5.py:352-392`) with one dataclass hierarchy.
+Defaults mirror the reference's defaults / documented operating points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    backbone: str = "seres18"          # factory key, see reid_tpu.models.factory
+    num_classes: int = 751             # Market1501 train ids
+    num_cams: int = 6
+    num_seqs: int = 6                  # side-info (SIE) sequence count
+    feat_dim: int = 512
+    pooling: str = "gem"               # "gem" | "avg"
+    renorm: bool = False               # BatchRenorm instead of BatchNorm
+    non_iid: int = 0                   # non-iid renorm group size (K of PK sampling)
+    cam_factor: float = -1.0           # scale of learnable per-camera bias
+                                       # (ref SERes18_IBN.py:198,248)
+    sie_factor: float = 1.5            # ViT side-info embedding scale
+                                       # (ref vision_transformer.py:186-188)
+    dtype: str = "bfloat16"            # compute dtype; params always float32
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    margin: float = 0.0                # 0 => WeightedRegularizedTriplet
+                                       # (ref hybrid_losses.py:23-26)
+    center_lamda: float = 5e-4         # ref image_reid_train.py lamda
+    cluster_factor: float = 1.0
+    smoothing: float = 0.1
+    epsilon: float = 0.0               # poly-loss epsilon
+    tao: float = 1.0                   # CE temperature
+    dcc_scalar: float = 20.0           # ref center_contrastive_losses.py:72
+    dcc_momentum: float = 0.1
+    dcc_weight: float = 0.25
+    use_dcc: bool = True
+    use_ce: bool = False               # HybridLoss omits plain CE; Weighted adds it
+    xbm: bool = False
+    xbm_size_mult: int = 4             # memory K = mult * batch (ref XBM.py usage)
+    xbm_start_epoch: int = 25          # ref image_reid_train_xbm.py:88
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    num_instances: int = 4             # K of PK sampling (ref --instance)
+    epochs: int = 60
+    lr: float = 3.5e-4                 # Adam when PK sampling (ref :51-56)
+    center_lr: float = 0.5
+    weight_decay: float = 5e-4
+    warmup_epochs: int = 10            # ref WarmUpCosineScheduler (train_prepare.py:84)
+    hold_epochs: int = 30
+    eta_min: float = 7e-7
+    grad_clip: float = 10.0
+    seed: int = 0
+    accum_steps: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "market1501"
+    root: str = "data"
+    height: int = 256                  # ref data_transforms.py Market sizes
+    width: int = 128
+    pad: int = 10
+    random_erasing_prob: float = 0.5
+    erasing_sl: float = 0.02
+    erasing_sh: float = 0.4
+    erasing_r1: float = 0.3
+    flip_prob: float = 0.5
+    gray_prob: float = 0.05            # Fuse_Gray probability
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrievalConfig:
+    k1: int = 20                       # k-reciprocal (ref faiss_utils.py:149)
+    k2: int = 6
+    lambda_value: float = 0.3
+    dbscan_eps: float = 0.55           # ref image_reid_inference.py:290
+    dbscan_min_samples: int = 10
+    cam_bias_lambda: float = 0.5       # ridge reg of camera whitening
+    tta_flip: bool = True
+    smooth_tracklet_alpha: float = 0.1 # ref inference_utils.py:27
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Operating point of modification_deepsort/deep_sort.yaml:1-10."""
+    method: str = "strongsort"         # strongsort|deepocsort|ocsort|bytetrack|botsort
+    max_dist: float = 0.15             # cosine appearance gate
+    min_confidence: float = 0.5
+    max_iou_distance: float = 0.7
+    max_age: int = 30
+    n_init: int = 3
+    nn_budget: int = 100
+    ema_alpha: float = 0.9             # strongsort appearance EMA
+    mc_lambda: float = 0.995           # motion/appearance cost blend
+    max_tracks: int = 128              # static track-slot capacity (SoA)
+    max_dets: int = 64                 # static per-frame detection capacity
+    crop_hw: Tuple[int, int] = (256, 128)  # ReID crop (h, w); ref TRACKING_EVAL.md:5
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data_axis: str = "data"
+    n_devices: int = 0                 # 0 => all available
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    retrieval: RetrievalConfig = dataclasses.field(default_factory=RetrievalConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,60 @@
+"""Model factory — name -> Flax module builder.
+
+Mirrors the reference's per-name dispatch in `reid/image_reid_train.py:595-697`
+and `modification_tracking/models/__init__.py:79-121` (build_model).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax.numpy as jnp
+
+MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def build_model(name: str, num_classes: int, num_cams: int = 6, **kw):
+    """Build a Flax module by backbone name.
+
+    Supported names track the reference CLI `--backbone` choices plus the
+    tracking factory: seres18, cares18, emares18, plr_osnet, osnet variants,
+    vit, swin_v1, swin_v2, baseline, resnet50, agw, video_resnet50.
+    """
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown backbone '{name}'; have {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](num_classes=num_classes, num_cams=num_cams, **kw)
+
+
+def _dtype(kw):
+    kw.setdefault("dtype", jnp.float32)
+    return kw
+
+
+@register("seres18")
+def _seres18(num_classes, num_cams=6, **kw):
+    from .seres18 import SERes18IBN
+    return SERes18IBN(num_classes=num_classes, num_cams=num_cams,
+                      attention="se", **_dtype(kw))
+
+
+@register("cares18")
+def _cares18(num_classes, num_cams=6, **kw):
+    """CARes18: same skeleton, TripletAttention blocks (ref CARes18.py:145)."""
+    from .seres18 import SERes18IBN
+    return SERes18IBN(num_classes=num_classes, num_cams=num_cams,
+                      attention="triplet", **_dtype(kw))
+
+
+@register("emares18")
+def _emares18(num_classes, num_cams=6, **kw):
+    """EMARes18: EMA multi-scale attention blocks (ref EMA_Res18.py:10-37)."""
+    from .seres18 import SERes18IBN
+    return SERes18IBN(num_classes=num_classes, num_cams=num_cams,
+                      attention="ema", **_dtype(kw))

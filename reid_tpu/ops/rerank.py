@@ -1,0 +1,82 @@
+"""k-reciprocal Jaccard re-ranking (Zhong et al., CVPR'17), TPU-native.
+
+Replaces ref `reid/faiss_utils.py:142-244` (faiss GPU kNN + numpy loops) with
+fully vectorized masked linear algebra:
+
+  1. initial ranking       -> `topk_neighbors` (Pallas/XLA, replaces bfKnn)
+  2. k-reciprocal sets     -> boolean scatter F, R = F & Fᵀ  (no loops)
+  3. local query expansion -> one boolean matmul (the 2/3-overlap rule)
+  4. V encoding            -> masked softmax of 2*sim over the expansion set
+  5. query expansion (k2)  -> averaging matmul A_{k2} @ V
+  6. Jaccard min-sum       -> since V rows sum to 1,
+                              sum_k min(V_i, V_j) = 1 - L1(V_i, V_j)/2,
+                              so the O(N^3) "min kernel" becomes one blocked
+                              pairwise-L1 (Pallas `pairwise_l1`)
+  7. J = 1 - tm / (2 - tm), clipped at 0  (ref :237-241)
+
+Numerics match the reference; features are expected L2-normalized (the
+reference computes dist = 2 - 2*sim, ref :202).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .distance import pairwise_l1, topk_neighbors
+
+
+def _topk_mask(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Boolean (N, N) membership mask from top-k index rows (N, k)."""
+    rows = jnp.arange(idx.shape[0])[:, None]
+    m = jnp.zeros((idx.shape[0], n), bool)
+    return m.at[rows, idx].set(True)
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "k2"))
+def compute_jaccard_distance(
+    features: jnp.ndarray, k1: int = 20, k2: int = 6
+) -> jnp.ndarray:
+    """Jaccard distance matrix (N, N) float32. Ref faiss_utils.py:149-244."""
+    n = features.shape[0]
+    feats = features.astype(jnp.float32)
+    feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+
+    k_half = int(round(k1 / 2))
+    _, initial_rank = topk_neighbors(feats, feats, k=k1 + 1)
+
+    # k-reciprocal masks: R[i,j] = j in top(i) and i in top(j)  (ref :142-146)
+    f_full = _topk_mask(initial_rank[:, : k1 + 1], n)
+    f_half = _topk_mask(initial_rank[:, : k_half + 1], n)
+    r_full = f_full & f_full.T
+    r_half = f_half & f_half.T
+
+    # local expansion (ref :191-198): candidate c of R[i] contributes R_h[c]
+    # when |R_h[c] ∩ R[i]| > 2/3 |R_h[c]|.
+    rf = r_full.astype(jnp.float32)
+    rh = r_half.astype(jnp.float32)
+    overlap = jnp.dot(rf, rh.T, preferred_element_type=jnp.float32)  # (i, c)
+    sizes_h = jnp.sum(rh, axis=1)                                    # |R_h[c]|
+    cond = r_full & (overlap > (2.0 / 3.0) * sizes_h[None, :])
+    expansion = r_full | (
+        jnp.dot(cond.astype(jnp.float32), rh,
+                preferred_element_type=jnp.float32) > 0
+    )
+
+    # V: softmax of similarity over the expansion set (ref :199-207).
+    # -dist = 2*sim - 2; the constant cancels inside softmax.
+    sim = jnp.dot(feats, feats.T, preferred_element_type=jnp.float32)
+    logits = jnp.where(expansion, 2.0 * sim, -jnp.inf)
+    v = jax.nn.softmax(logits, axis=1)
+
+    # query expansion over the k2 original neighbors (ref :211-216).
+    if k2 != 1:
+        a = _topk_mask(initial_rank[:, :k2], n).astype(jnp.float32)
+        v = jnp.dot(a, v, preferred_element_type=jnp.float32) / k2
+
+    # min-sum via L1 identity (rows of v sum to 1).
+    tm = 1.0 - 0.5 * pairwise_l1(v, v)
+    jaccard = 1.0 - tm / (2.0 - tm)
+    return jnp.maximum(jaccard, 0.0)

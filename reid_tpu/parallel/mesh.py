@@ -1,0 +1,100 @@
+"""Device-mesh utilities — the framework's distributed layer.
+
+Replaces the reference's parallelism inventory (SURVEY.md §2.5):
+  - nn.DataParallel / DDP(NCCL|Gloo)  -> batch sharding over a `Mesh` axis
+    "data" with params replicated; XLA inserts the gradient all-reduce over
+    ICI (no rendezvous, no process groups — ref train_utils.py:45-77 gone).
+  - faiss IndexShards multi-GPU search -> `sharded_gallery_topk`: gallery
+    sharded over the mesh, per-shard top-k + all-gather merge
+    (ref faiss_utils.py:121-139).
+
+BatchNorm needs no special sync: under GSPMD a `jnp.mean` over a
+batch-sharded array is a global mean (collective inserted by XLA).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a pytree of arrays batch-sharded over the mesh axis."""
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def sharded_gallery_topk(
+    mesh: Mesh,
+    query: jnp.ndarray,     # (Q, D) replicated
+    gallery: jnp.ndarray,   # (N, D), N divisible by mesh size (pad upstream)
+    k: int,
+    axis: str = "data",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed brute-force kNN: per-shard top-k then global merge.
+
+    The faiss `IndexShards` replacement: each device scans its gallery shard
+    (local (Q, N/p) distance + top-k), the (Q, k) candidates are all-gathered
+    and reduced to a global (Q, k). Collective rides ICI via shard_map.
+    """
+    n = gallery.shape[0]
+    p = mesh.devices.size
+    shard = n // p
+
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sme
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _sme(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                        check_rep=False)
+
+    def local_topk(q, g_shard):
+        # g_shard: (N/p, D) local block
+        qf = q.astype(jnp.float32)
+        gf = g_shard.astype(jnp.float32)
+        d = (
+            jnp.sum(qf * qf, 1, keepdims=True)
+            + jnp.sum(gf * gf, 1)[None, :]
+            - 2.0 * jnp.dot(qf, gf.T, preferred_element_type=jnp.float32)
+        )
+        neg, idx = jax.lax.top_k(-d, k)
+        base = jax.lax.axis_index(axis) * shard
+        # gather all shards' candidates, merge to global top-k
+        all_d = jax.lax.all_gather(-neg, axis)        # (p, Q, k) distances
+        all_i = jax.lax.all_gather(idx + base, axis)  # (p, Q, k) global idx
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q.shape[0], p * k)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(q.shape[0], p * k)
+        mneg, mpos = jax.lax.top_k(-all_d, k)
+        return -mneg, jnp.take_along_axis(all_i, mpos, axis=1)
+
+    fn = shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+    )
+    return fn(query, gallery)

@@ -1,0 +1,29 @@
+"""Test harness: force an 8-virtual-device CPU platform BEFORE jax imports.
+
+This is the standard JAX idiom for testing pjit/collectives without a TPU
+slice (SURVEY.md §4). Bench and the driver's graft entry use the real chip.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the session env pins the TPU platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The image's sitecustomize imports jax before conftest runs, so the env var
+# alone is too late — update the config before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

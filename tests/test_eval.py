@@ -1,0 +1,70 @@
+"""Golden-value tests for CMC/mAP against a direct NumPy transcription of the
+reference protocol (reid/evaluate.py:55-105), on tiny synthetic galleries."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from reid_tpu.eval import evaluate_all
+
+
+def _oracle_evaluate(qf, ql, qc, gf, gl, gc, max_rank=50):
+    """Per-query Python loop — the reference algorithm verbatim in NumPy."""
+    cmc_total = np.zeros(max_rank)
+    ap_total = 0.0
+    for i in range(len(ql)):
+        score = gf @ qf[i]
+        index = np.argsort(score)[::-1]
+        query_index = np.argwhere(gl == ql[i])
+        camera_index = np.argwhere(gc == qc[i])
+        good_index = np.setdiff1d(query_index, camera_index, assume_unique=True)
+        junk_index1 = np.argwhere(gl == -1)
+        junk_index2 = np.intersect1d(query_index, camera_index)
+        junk_index = np.append(junk_index2, junk_index1)
+
+        cmc = np.zeros(len(index))
+        if good_index.size == 0:
+            continue
+        mask = np.isin(index, junk_index, invert=True)
+        index = index[mask]
+        ngood = len(good_index)
+        mask = np.isin(index, good_index)
+        rows_good = np.argwhere(mask).flatten()
+        cmc[rows_good[0]:] = 1
+        ap = 0.0
+        for k in range(ngood):
+            d_recall = 1.0 / ngood
+            precision = (k + 1) / (rows_good[k] + 1)
+            old_precision = k / rows_good[k] if rows_good[k] != 0 else 1.0
+            ap += d_recall * (old_precision + precision) / 2
+        cmc_total += cmc[:max_rank]
+        ap_total += ap
+    return cmc_total / len(ql), ap_total / len(ql)
+
+
+def test_cmc_map_matches_reference_oracle(rng):
+    nq, ng, d = 20, 100, 16
+    n_ids, n_cams = 8, 3
+    qf = rng.normal(size=(nq, d)).astype(np.float32)
+    gf = rng.normal(size=(ng, d)).astype(np.float32)
+    ql = rng.integers(0, n_ids, nq)
+    qc = rng.integers(0, n_cams, nq)
+    gl = rng.integers(0, n_ids, ng)
+    gc = rng.integers(0, n_cams, ng)
+    gl[:5] = -1  # distractors
+
+    want_cmc, want_map = _oracle_evaluate(qf, ql, qc, gf, gl, gc)
+    got_cmc, got_map = evaluate_all(qf, ql, qc, gf, gl, gc, verbose=False)
+    np.testing.assert_allclose(got_cmc, want_cmc, atol=1e-5)
+    assert abs(got_map - want_map) < 1e-5
+
+
+def test_perfect_retrieval():
+    # gallery: each query's match is nearest and on a different camera
+    d = 4
+    qf = np.eye(d, dtype=np.float32)
+    gf = np.concatenate([np.eye(d), 0.1 * np.ones((2, d))]).astype(np.float32)
+    ql = np.arange(4); qc = np.zeros(4, int)
+    gl = np.asarray([0, 1, 2, 3, 9, 9]); gc = np.asarray([1, 1, 1, 1, 0, 0])
+    cmc, mean_ap = evaluate_all(qf, ql, qc, gf, gl, gc, verbose=False)
+    assert cmc[0] == 1.0
+    assert abs(mean_ap - 1.0) < 1e-6

@@ -1,0 +1,160 @@
+"""Tests for the retrieval ops: distance kernels, top-k, Jaccard re-rank,
+camera de-bias, DBSCAN, k-means — against NumPy/sklearn-style oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reid_tpu.ops import (
+    compute_jaccard_distance,
+    dbscan_precomputed,
+    diminish_camera_bias,
+    kmeans,
+    pairwise_cosine,
+    pairwise_l1,
+    pairwise_sqeuclidean,
+    smooth_tracklets,
+    topk_neighbors,
+)
+
+
+def test_sqeuclidean_matches_numpy(rng):
+    x = rng.normal(size=(33, 17)).astype(np.float32)
+    y = rng.normal(size=(21, 17)).astype(np.float32)
+    want = ((x[:, None] - y[None]) ** 2).sum(-1)
+    got = np.asarray(pairwise_sqeuclidean(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_l1_matches_numpy(rng):
+    x = rng.normal(size=(19, 23)).astype(np.float32)
+    want = np.abs(x[:, None] - x[None]).sum(-1)
+    got = np.asarray(pairwise_l1(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_topk_neighbors(rng):
+    x = rng.normal(size=(37, 8)).astype(np.float32)
+    g = rng.normal(size=(101, 8)).astype(np.float32)
+    d2 = ((x[:, None] - g[None]) ** 2).sum(-1)
+    want_idx = np.argsort(d2, axis=1)[:, :5]
+    dists, idx = topk_neighbors(jnp.asarray(x), jnp.asarray(g), k=5)
+    got_idx = np.asarray(idx)
+    # distances must match (indices may differ on exact ties)
+    np.testing.assert_allclose(
+        np.sort(np.take_along_axis(d2, got_idx, 1), 1),
+        np.sort(np.take_along_axis(d2, want_idx, 1), 1),
+        rtol=1e-4, atol=1e-4,
+    )
+    assert np.all(np.diff(np.asarray(dists), axis=1) >= -1e-5)
+
+
+def _oracle_jaccard(feats, k1=20, k2=6):
+    """NumPy transcription of ref faiss_utils.py:142-244."""
+    import numpy as np
+    N = feats.shape[0]
+    feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    d2 = ((feats[:, None] - feats[None]) ** 2).sum(-1)
+    initial_rank = np.argsort(d2, axis=1)
+
+    def k_recip(i, k):
+        fwd = initial_rank[i, : k + 1]
+        back = initial_rank[fwd, : k + 1]
+        fi = np.where(back == i)[0]
+        return fwd[fi]
+
+    nn_k1 = [k_recip(i, k1) for i in range(N)]
+    nn_half = [k_recip(i, int(np.around(k1 / 2))) for i in range(N)]
+    V = np.zeros((N, N), np.float32)
+    for i in range(N):
+        k_idx = nn_k1[i]
+        exp_idx = k_idx
+        for cand in k_idx:
+            c_idx = nn_half[cand]
+            if len(np.intersect1d(c_idx, k_idx)) > 2 / 3 * len(c_idx):
+                exp_idx = np.append(exp_idx, c_idx)
+        exp_idx = np.unique(exp_idx)
+        dist = 2 - 2 * feats[i] @ feats[exp_idx].T
+        e = np.exp(-dist)
+        V[i, exp_idx] = e / e.sum()
+    if k2 != 1:
+        V = np.stack([V[initial_rank[i, :k2]].mean(0) for i in range(N)])
+    jac = np.zeros((N, N), np.float32)
+    for i in range(N):
+        tm = np.minimum(V[i][None, :], V).sum(1)
+        jac[i] = 1 - tm / (2 - tm)
+    return np.maximum(jac, 0)
+
+
+def test_jaccard_matches_oracle(rng):
+    # clustered features so k-reciprocal structure is non-trivial
+    centers = rng.normal(size=(5, 12)) * 3
+    feats = np.concatenate(
+        [c + 0.3 * rng.normal(size=(10, 12)) for c in centers]
+    ).astype(np.float32)
+    want = _oracle_jaccard(feats, k1=8, k2=3)
+    got = np.asarray(compute_jaccard_distance(jnp.asarray(feats), k1=8, k2=3))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_dbscan_clusters_blobs(rng):
+    a = rng.normal(size=(20, 2)) * 0.1
+    b = rng.normal(size=(20, 2)) * 0.1 + 10
+    noise = np.asarray([[5.0, 5.0]])
+    x = np.concatenate([a, b, noise])
+    d = np.linalg.norm(x[:, None] - x[None], axis=-1)
+    labels = dbscan_precomputed(d, eps=1.0, min_samples=3)
+    assert len(set(labels[:20])) == 1 and labels[0] >= 0
+    assert len(set(labels[20:40])) == 1
+    assert labels[0] != labels[20]
+    assert labels[-1] == -1
+
+
+def test_dbscan_matches_sklearn(rng):
+    sklearn = pytest.importorskip("sklearn.cluster")
+    x = rng.normal(size=(60, 3))
+    d = np.linalg.norm(x[:, None] - x[None], axis=-1)
+    want = sklearn.DBSCAN(eps=0.8, min_samples=4, metric="precomputed").fit_predict(d)
+    got = dbscan_precomputed(d, eps=0.8, min_samples=4)
+    # same noise set and same partition (label ids may permute)
+    assert ((want == -1) == (got == -1)).all()
+    for lbl in set(got) - {-1}:
+        members = got == lbl
+        assert len(set(want[members])) == 1
+
+
+def test_camera_debias_properties(rng):
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    cams = np.repeat([0, 1], 20)
+    out = np.asarray(diminish_camera_bias(jnp.asarray(x), jnp.asarray(cams),
+                                          num_cams=2))
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+    # per-camera means are (approximately) removed before whitening
+    assert abs(out[:20].mean()) < abs(x[:20].mean()) + 1.0
+
+
+def test_smooth_tracklets(rng):
+    x = rng.normal(size=(6, 4)).astype(np.float32)
+    ids = np.asarray([0, 0, 0, 1, 1, -1])
+    out = np.asarray(smooth_tracklets(jnp.asarray(x), jnp.asarray(ids)))
+    # invalid row unchanged
+    np.testing.assert_allclose(out[5], x[5], atol=1e-6)
+    # smoothed rows are normalized
+    np.testing.assert_allclose(np.linalg.norm(out[:5], axis=1), 1.0, atol=1e-5)
+    # same-tracklet rows move closer together
+    def spread(v):
+        return np.linalg.norm(v - v.mean(0), axis=1).mean()
+    xn = x[:3] / np.linalg.norm(x[:3], axis=1, keepdims=True)
+    assert spread(out[:3]) < spread(xn)
+
+
+def test_kmeans_separates_blobs(rng):
+    a = rng.normal(size=(30, 4)) * 0.2
+    b = rng.normal(size=(30, 4)) * 0.2 + 8
+    x = jnp.asarray(np.concatenate([a, b]), jnp.float32)
+    labels, centers = kmeans(jax.random.PRNGKey(0), x, k=2)
+    labels = np.asarray(labels)
+    assert len(set(labels[:30])) == 1
+    assert len(set(labels[30:])) == 1
+    assert labels[0] != labels[30]
