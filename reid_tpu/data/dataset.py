@@ -1,0 +1,96 @@
+"""ReIDDataset — host-side record store with image cache + pseudo-label merge.
+
+Ref `reid/data_prepare.py:11-90` (reidDataset): PIL load + transform,
+per-class stats (get_class_stats), continual-phase pseudo-label merging
+(`add_pseudo` :51-67 relabels pseudo ids after the real ones and flags each
+sample real=0/pseudo=1), cross-domain switch (`set_cross_domain` :40-44).
+
+The torchvision transform chain moves to device (transforms.augment_batch);
+this class only decodes + resizes to the static (H, W) once, caching uint8
+arrays (role of the hdf5 cache, ref train_utils.py:26-42).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Record = Tuple[str, int, int, int]
+
+
+class ReIDDataset:
+    def __init__(self, records: Sequence[Record], num_pids: int,
+                 height: int = 256, width: int = 128, cache: bool = True):
+        self.records: List[Record] = list(records)
+        self.num_train_pids = num_pids
+        self.height = height
+        self.width = width
+        # per-sample weight flag: 0 = real, 1 = pseudo (ref :89)
+        self.flags: List[int] = [0] * len(self.records)
+        self.cross_domain = False
+        self._cache_enabled = cache
+        self._cache: dict = {}
+
+    def __len__(self):
+        return len(self.records)
+
+    # ---- continual phase -------------------------------------------------
+    def add_pseudo(self, pseudo_records: Sequence[Record], num_new: int):
+        """Append pseudo-labeled samples; pseudo pids come pre-offset by the
+        caller (ref add_pseudo relabels to num_train_pids + cluster id)."""
+        self.records.extend(pseudo_records)
+        self.flags.extend([1] * len(pseudo_records))
+        self.num_train_pids += num_new
+
+    def set_cross_domain(self):
+        self.cross_domain = True
+
+    # ---- stats -----------------------------------------------------------
+    @property
+    def labels(self) -> np.ndarray:
+        return np.asarray([r[1] for r in self.records], np.int64)
+
+    @property
+    def cams(self) -> np.ndarray:
+        return np.asarray([r[2] for r in self.records], np.int64)
+
+    @property
+    def seqs(self) -> np.ndarray:
+        return np.asarray([r[3] for r in self.records], np.int64)
+
+    def get_class_stats(self) -> np.ndarray:
+        """Per-class sample counts (ref get_class_stats usage,
+        image_reid_train.py:40-41)."""
+        counts = np.bincount(self.labels, minlength=self.num_train_pids)
+        return np.maximum(counts, 1)
+
+    # ---- image access ----------------------------------------------------
+    def load_image(self, index: int) -> np.ndarray:
+        """uint8 (H, W, 3), resized once and cached."""
+        if index in self._cache:
+            return self._cache[index]
+        from PIL import Image
+
+        path = self.records[index][0]
+        with Image.open(path) as im:
+            im = im.convert("RGB").resize(
+                (self.width, self.height), Image.BILINEAR
+            )
+            arr = np.asarray(im, np.uint8)
+        if self._cache_enabled:
+            self._cache[index] = arr
+        return arr
+
+    def gather(self, indices: Sequence[int]) -> dict:
+        """Assemble a host batch dict for the given indices."""
+        images = np.stack([self.load_image(i) for i in indices])
+        recs = [self.records[i] for i in indices]
+        return {
+            "images": images,
+            "labels": np.asarray([r[1] for r in recs], np.int32),
+            "cams": np.asarray([r[2] for r in recs], np.int32),
+            "seqs": np.asarray([r[3] for r in recs], np.int32),
+            "weights": np.asarray([float(self.flags[i]) for i in indices],
+                                  np.float32),
+        }
