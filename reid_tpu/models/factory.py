@@ -58,3 +58,35 @@ def _emares18(num_classes, num_cams=6, **kw):
     from .seres18 import SERes18IBN
     return SERes18IBN(num_classes=num_classes, num_cams=num_cams,
                       attention="ema", **_dtype(kw))
+
+
+def _osnet_channels(mult: float):
+    base = (64, 256, 384, 512)
+    return tuple(max(16, int(c * mult)) for c in base)
+
+
+@register("osnet")
+@register("osnet_x1_0")
+def _osnet(num_classes, num_cams=6, **kw):
+    from .osnet import OSNet
+    return OSNet(num_classes=num_classes, num_cams=num_cams, **_dtype(kw))
+
+
+@register("osnet_x0_5")
+def _osnet_half(num_classes, num_cams=6, **kw):
+    from .osnet import OSNet
+    return OSNet(num_classes=num_classes, num_cams=num_cams,
+                 channels=_osnet_channels(0.5), **_dtype(kw))
+
+
+@register("osnet_x0_25")
+def _osnet_quarter(num_classes, num_cams=6, **kw):
+    from .osnet import OSNet
+    return OSNet(num_classes=num_classes, num_cams=num_cams,
+                 channels=_osnet_channels(0.25), **_dtype(kw))
+
+
+@register("plr_osnet")
+def _plr_osnet(num_classes, num_cams=6, **kw):
+    from .osnet import PLROSNet
+    return PLROSNet(num_classes=num_classes, num_cams=num_cams, **_dtype(kw))

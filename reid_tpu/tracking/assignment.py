@@ -1,0 +1,113 @@
+"""Linear assignment under jit — the association crux (SURVEY.md §7.3.1).
+
+`auction_assign`: Bertsekas parallel auction on a padded square cost matrix,
+entirely in lax ops so per-frame association never leaves the device
+(replaces scipy.optimize.linear_sum_assignment on host, which forced the
+reference's per-frame D2H hop). Near-optimal within n*eps; with the small
+bounded costs of tracking (<= ~2, INF pad 10) and eps=1e-3 that error is far
+below the match/no-match gates.
+
+`hungarian_host`: exact scipy fallback (host callback) used for parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF_COST = 10.0
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def auction_assign(cost: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Min-cost perfect matching on a square (N, N) matrix.
+
+    Returns row_to_col (N,) int32. Costs should be bounded (use INF_COST for
+    forbidden pairs, not jnp.inf). Iteration cap keeps the while_loop total.
+    """
+    n = cost.shape[0]
+    benefit = -cost.astype(jnp.float32)                  # maximize benefit
+    max_iters = int(4 * n * (2 * INF_COST / eps + n))
+
+    def cond(carry):
+        prices, r2c, c2r, it = carry
+        return jnp.logical_and(jnp.any(r2c < 0), it < max_iters)
+
+    def body(carry):
+        prices, r2c, c2r, it = carry
+        unassigned = r2c < 0                             # (N,)
+        values = benefit - prices[None, :]               # (N, N)
+        top2, idx2 = jax.lax.top_k(values, 2)
+        best_col = idx2[:, 0]
+        bid_amount = top2[:, 0] - top2[:, 1] + eps       # (N,)
+        bids = jnp.where(unassigned, prices[best_col] + bid_amount, -jnp.inf)
+
+        # For each column, the highest bidder among unassigned rows wins.
+        col_onehot = jax.nn.one_hot(best_col, n, dtype=jnp.float32)
+        col_bids = jnp.where(col_onehot > 0, bids[:, None], -jnp.inf)  # (N, N)
+        win_bid = jnp.max(col_bids, axis=0)              # (N,)
+        win_row = jnp.argmax(col_bids, axis=0)
+        contested = win_bid > -jnp.inf
+
+        new_prices = jnp.where(contested, win_bid, prices)
+        # evict previous owners of contested columns
+        cols = jnp.arange(n)
+        old_owner = jnp.where(contested, c2r, -1)
+        r2c_evicted = jnp.where(
+            jnp.isin(jnp.arange(n), jnp.where(old_owner >= 0, old_owner, -2)),
+            -1, r2c)
+        new_c2r = jnp.where(contested, win_row, c2r)
+        # assign winners
+        new_r2c = r2c_evicted
+        new_r2c = new_r2c.at[jnp.where(contested, win_row, n)].set(
+            jnp.where(contested, cols, -1), mode="drop")
+        return new_prices, new_r2c, new_c2r, it + 1
+
+    prices0 = jnp.zeros((n,), jnp.float32)
+    r2c0 = -jnp.ones((n,), jnp.int32)
+    c2r0 = -jnp.ones((n,), jnp.int32)
+    prices, r2c, c2r, _ = jax.lax.while_loop(
+        cond, body, (prices0, r2c0, c2r0, jnp.zeros((), jnp.int32))
+    )
+    return r2c.astype(jnp.int32)
+
+
+def hungarian_host(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact Hungarian on host (scipy) — test oracle / fallback."""
+    from scipy.optimize import linear_sum_assignment
+
+    rows, cols = linear_sum_assignment(np.asarray(cost))
+    return rows, cols
+
+
+def gated_matches(
+    cost: jnp.ndarray,            # (T, D) with INF_COST at invalid pairs
+    row_valid: jnp.ndarray,       # (T,) bool
+    col_valid: jnp.ndarray,       # (D,) bool
+    gate: float,
+) -> jnp.ndarray:
+    """Assignment + gate rejection with static shapes.
+
+    Returns col_of_row (T,) int32; -1 = unmatched. Pads to a square matrix,
+    runs the auction, then rejects matches whose cost exceeds `gate` or that
+    involve padded/invalid rows/cols (the reference's min_cost_matching
+    post-filter behavior).
+    """
+    t, d = cost.shape
+    n = max(t, d)
+    sq = jnp.full((n, n), INF_COST, jnp.float32)
+    masked = jnp.where(
+        row_valid[:, None] & col_valid[None, :], cost, INF_COST
+    )
+    sq = sq.at[:t, :d].set(masked)
+    r2c = auction_assign(sq)
+    r2c = r2c[:t]
+    matched_cost = jnp.take_along_axis(
+        masked, jnp.clip(r2c, 0, d - 1)[:, None], axis=1
+    )[:, 0]
+    ok = (r2c >= 0) & (r2c < d) & (matched_cost < gate) & row_valid
+    return jnp.where(ok, r2c, -1)

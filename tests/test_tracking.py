@@ -1,0 +1,219 @@
+"""Tracker tests: Kalman numerics, DIoU vs the reference's micro-demo values,
+auction assignment vs scipy, and scripted-detection ID stability
+(SURVEY.md §4 rec (d))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reid_tpu.config import TrackerConfig
+from reid_tpu.tracking import (
+    Tracker,
+    auction_assign,
+    diou_matrix,
+    hungarian_host,
+    iou_matrix,
+    kalman_gating_distance,
+    kalman_initiate,
+    kalman_predict,
+    kalman_update,
+)
+from reid_tpu.tracking.assignment import INF_COST, gated_matches
+from reid_tpu.tracking.mot import load_mot_detections, write_mot_txt
+
+
+# ---------------------------------------------------------------- kalman
+
+def test_kalman_init_predict_update_converges():
+    z = jnp.asarray([10.0, 20.0, 0.5, 40.0])
+    mean, cov = kalman_initiate(z)
+    np.testing.assert_allclose(mean[:4], z, atol=1e-6)
+    # feed constant measurements; position should stay, velocity ~0
+    for _ in range(10):
+        mean, cov = kalman_predict(mean, cov)
+        mean, cov = kalman_update(mean, cov, z)
+    np.testing.assert_allclose(np.asarray(mean[:4]), np.asarray(z), atol=0.5)
+    assert abs(float(mean[4])) < 0.5
+
+    # moving target: velocity should be learned
+    mean, cov = kalman_initiate(jnp.asarray([0.0, 0.0, 0.5, 40.0]))
+    for t in range(1, 15):
+        mean, cov = kalman_predict(mean, cov)
+        mean, cov = kalman_update(
+            mean, cov, jnp.asarray([5.0 * t, 0.0, 0.5, 40.0]))
+    assert 4.0 < float(mean[4]) < 6.0  # vx ~ 5
+
+
+def test_kalman_gating_distance_orders():
+    z = jnp.asarray([10.0, 20.0, 0.5, 40.0])
+    mean, cov = kalman_initiate(z)
+    ms = jnp.asarray([[10.0, 20.0, 0.5, 40.0],
+                      [14.0, 20.0, 0.5, 40.0],
+                      [100.0, 90.0, 0.5, 40.0]])
+    d = np.asarray(kalman_gating_distance(mean, cov, ms))
+    assert d[0] < d[1] < d[2]
+    assert d[0] < 1e-6
+
+
+# ---------------------------------------------------------------- costs
+
+def test_diou_matches_reference_demo():
+    """Ref iou_matching.py:50-53 __main__ demo values."""
+    bbox = np.asarray([[10, 12, 8, 9]], np.float32)
+    candidates = np.asarray([[9, 10, 9, 9], [8, 12, 9, 10], [10, 12, 9, 8]],
+                            np.float32)
+    got = np.asarray(diou_matrix(jnp.asarray(bbox), jnp.asarray(candidates)))[0]
+
+    # independent numpy oracle of iou - d/rou in tlwh
+    def oracle(b, cs):
+        tl, br = b[:2], b[:2] + b[2:]
+        c_tl, c_br = cs[:, :2], cs[:, :2] + cs[:, 2:]
+        bc = (tl + br) / 2
+        cc = (c_tl + c_br) / 2
+        d = ((bc - cc) ** 2).sum(1)
+        otl = np.minimum(tl, c_tl)
+        obr = np.maximum(br, c_br)
+        rou = ((otl - obr) ** 2).sum(1)
+        itl = np.maximum(tl, c_tl)
+        ibr = np.minimum(br, c_br)
+        wh = np.maximum(0, ibr - itl)
+        inter = wh.prod(1)
+        iou = inter / (b[2:].prod() + cs[:, 2:].prod(1) - inter)
+        return iou - d / rou
+
+    want = oracle(bbox[0], candidates)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_iou_identity():
+    b = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    assert float(iou_matrix(b, b)[0, 0]) == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------- assignment
+
+def test_auction_matches_scipy(rng):
+    for n in (4, 8, 16):
+        cost = rng.uniform(0, 2, (n, n)).astype(np.float32)
+        r2c = np.asarray(auction_assign(jnp.asarray(cost), eps=1e-4))
+        assert sorted(r2c) == list(range(n))  # perfect matching
+        rows, cols = hungarian_host(cost)
+        opt = cost[rows, cols].sum()
+        got = cost[np.arange(n), r2c].sum()
+        assert got <= opt + n * 1e-4 + 1e-5
+
+
+def test_gated_matches_respects_gate():
+    cost = jnp.asarray([[0.1, 5.0], [5.0, 0.9]])
+    out = np.asarray(gated_matches(cost, jnp.asarray([True, True]),
+                                   jnp.asarray([True, True]), gate=0.5))
+    assert out[0] == 0        # under gate -> matched
+    assert out[1] == -1       # 0.9 over gate -> rejected
+
+
+# ---------------------------------------------------------------- tracker
+
+def _frame(boxes, feat_dim=8, max_dets=8, feats=None):
+    tlwh = np.zeros((max_dets, 4), np.float32)
+    conf = np.zeros((max_dets,), np.float32)
+    valid = np.zeros((max_dets,), bool)
+    f = np.zeros((max_dets, feat_dim), np.float32)
+    for i, b in enumerate(boxes):
+        tlwh[i] = b
+        conf[i] = 0.9
+        valid[i] = True
+        if feats is not None:
+            f[i] = feats[i]
+        else:
+            f[i, i % feat_dim] = 1.0
+    return (jnp.asarray(tlwh), jnp.asarray(conf), jnp.asarray(f),
+            jnp.asarray(valid))
+
+
+def test_tracker_stable_ids_two_targets():
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=3)
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    feats = np.zeros((2, 8), np.float32)
+    feats[0, 0] = 1.0
+    feats[1, 1] = 1.0
+    ids_per_frame = []
+    for t in range(8):
+        boxes = [(100 + 5 * t, 100, 20, 40), (300 - 5 * t, 200, 20, 40)]
+        state, out = tracker.update(state, *_frame(boxes, feats=feats))
+        valid = np.asarray(out["valid"])
+        ids = np.asarray(out["ids"])[valid]
+        ids_per_frame.append(sorted(ids.tolist()))
+    # before n_init confirmations nothing output; afterwards 2 stable ids
+    assert ids_per_frame[0] == []
+    assert len(ids_per_frame[-1]) == 2
+    assert ids_per_frame[3] == ids_per_frame[-1]  # stable across frames
+
+
+def test_tracker_handles_miss_and_reappear():
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2, max_age=5)
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    feats = np.zeros((1, 8), np.float32)
+    feats[0, 0] = 1.0
+    # establish a track
+    for t in range(4):
+        state, out = tracker.update(
+            state, *_frame([(100 + 2 * t, 100, 20, 40)], feats=feats))
+    established = sorted(np.asarray(out["ids"])[np.asarray(out["valid"])])
+    assert len(established) == 1
+    # miss 2 frames
+    for _ in range(2):
+        state, out = tracker.update(state, *_frame([], feats=None))
+        assert np.asarray(out["valid"]).sum() == 0
+    # reappear near prediction with same appearance -> same id
+    state, out = tracker.update(
+        state, *_frame([(112, 100, 20, 40)], feats=feats))
+    back = sorted(np.asarray(out["ids"])[np.asarray(out["valid"])])
+    assert back == established
+
+
+def test_tracker_tentative_track_dies_on_single_miss():
+    cfg = TrackerConfig(max_tracks=8, max_dets=8, n_init=3)
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    state, _ = tracker.update(state, *_frame([(50, 50, 10, 20)]))
+    assert int((np.asarray(state.status) > 0).sum()) == 1
+    state, _ = tracker.update(state, *_frame([]))
+    assert int((np.asarray(state.status) > 0).sum()) == 0
+
+
+def test_tracker_low_confidence_filtered():
+    cfg = TrackerConfig(max_tracks=8, max_dets=4, min_confidence=0.5)
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    tlwh = jnp.asarray([[10.0, 10, 5, 5], [50, 50, 5, 5], [0, 0, 0, 0],
+                        [0, 0, 0, 0]])
+    conf = jnp.asarray([0.9, 0.2, 0.0, 0.0])
+    feats = jnp.asarray(np.eye(4, 8, dtype=np.float32))
+    valid = jnp.asarray([True, True, False, False])
+    state, _ = tracker.update(state, tlwh, conf, feats, valid)
+    assert int((np.asarray(state.status) > 0).sum()) == 1
+
+
+# -------------------------------------------------------------------- mot
+
+def test_mot_roundtrip(tmp_path):
+    p = tmp_path / "det.txt"
+    p.write_text("1,-1,10,20,30,40,0.9\n1,-1,50,60,30,40,0.8\n"
+                 "2,-1,12,22,30,40,0.7\n")
+    dets = load_mot_detections(str(p), max_dets=4)
+    assert set(dets) == {1, 2}
+    tlwh, conf, valid = dets[1]
+    assert valid.sum() == 2 and conf[0] == pytest.approx(0.9)
+
+    out = tmp_path / "out.txt"
+    rows = write_mot_txt(str(out), [{
+        "frame": 1,
+        "tlwh": np.asarray([[1.0, 2, 3, 4], [0, 0, 0, 0]]),
+        "ids": np.asarray([7, 0]),
+        "valid": np.asarray([True, False]),
+    }])
+    assert rows == 1
+    assert out.read_text().startswith("1,7,1.00,2.00,3.00,4.00")
