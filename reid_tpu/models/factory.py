@@ -90,3 +90,62 @@ def _osnet_quarter(num_classes, num_cams=6, **kw):
 def _plr_osnet(num_classes, num_cams=6, **kw):
     from .osnet import PLROSNet
     return PLROSNet(num_classes=num_classes, num_cams=num_cams, **_dtype(kw))
+
+
+@register("vit")
+def _vit(num_classes, num_cams=6, num_seqs=0, **kw):
+    from .vit import vit_t
+    return vit_t(num_classes=num_classes, num_cams=num_cams,
+                 num_seqs=num_seqs, **_dtype(kw))
+
+
+@register("swin_v1")
+def _swin_v1(num_classes, num_cams=6, **kw):
+    from .swin import swin_t
+    return swin_t(num_classes=num_classes, num_cams=num_cams, version="v1",
+                  **_dtype(kw))
+
+
+@register("swin_v2")
+def _swin_v2(num_classes, num_cams=6, **kw):
+    from .swin import swin_t
+    return swin_t(num_classes=num_classes, num_cams=num_cams, version="v2",
+                  **_dtype(kw))
+
+
+@register("video_resnet50")
+def _video_r50(num_classes, num_cams=6, **kw):
+    from .video3d import video_resnet50
+    return video_resnet50(num_classes=num_classes, **_dtype(kw))
+
+
+@register("video_resnet18")
+def _video_r18(num_classes, num_cams=6, **kw):
+    from .video3d import video_resnet18
+    return video_resnet18(num_classes=num_classes, **_dtype(kw))
+
+
+@register("baseline")
+def _baseline(num_classes, num_cams=6, **kw):
+    """ft_baseline: ResNet18 + ClassBlock (ref baseline_lite.py:33-60)."""
+    from .baseline import ResNetReID
+    return ResNetReID(num_classes=num_classes, num_cams=num_cams,
+                      block="basic", blocks=(2, 2, 2, 2), **_dtype(kw))
+
+
+@register("resnet50")
+def _resnet50(num_classes, num_cams=6, **kw):
+    """ft_net: ResNet50 + ClassBlock (ref resnet50.py:70-95)."""
+    from .baseline import ResNetReID
+    return ResNetReID(num_classes=num_classes, num_cams=num_cams,
+                      block="bottleneck", blocks=(3, 4, 6, 3), **_dtype(kw))
+
+
+@register("agw")
+def _agw(num_classes, num_cams=6, **kw):
+    """AGW: ResNet50 + non-local + GeM pooling (ref AGW_MODEL.py)."""
+    from .baseline import ResNetReID
+    return ResNetReID(num_classes=num_classes, num_cams=num_cams,
+                      block="bottleneck", blocks=(3, 4, 6, 3),
+                      non_local=True, pooling="gem", bottleneck_dim=0,
+                      **_dtype(kw))

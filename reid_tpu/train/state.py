@@ -66,9 +66,10 @@ def create_train_state(
     steps_per_epoch: int,
     input_shape=(2, 256, 128, 3),
 ) -> ReIDTrainState:
-    k_init, k_loss = jax.random.split(key)
+    k_init, k_drop, k_loss = jax.random.split(key, 3)
     dummy = jnp.zeros(input_shape, jnp.float32)
-    variables = model.init(k_init, dummy, train=True)
+    variables = model.init({"params": k_init, "dropout": k_drop}, dummy,
+                           train=True)
     tx, center_tx = make_optimizers(cfg, steps_per_epoch)
     loss_state = init_hybrid_state(
         k_loss, cfg.model.num_classes, cfg.model.feat_dim

@@ -36,10 +36,13 @@ def make_train_step(cfg: Config, use_xbm_gate: bool = False):
 
     def loss_fn(params, centers, state: ReIDTrainState, batch):
         variables = {"params": params, "batch_stats": state.batch_stats}
+        dropout_rng = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.train.seed), state.step)
         (feature, logits), mutated = state.apply_fn(
             variables, batch["images"],
             cam=batch.get("cams") if cfg.model.cam_factor > 0 else None,
             train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
         )
         feature = feature.astype(jnp.float32)
         logits = logits.astype(jnp.float32)

@@ -1,0 +1,128 @@
+"""End-to-end smoke: train a tiny model on a synthetic image tree, evaluate
+retrieval with and without re-ranking, run the continual pseudo-label phase.
+This is the CPU-scale version of the reference's metric-based integration
+evaluation (SURVEY.md §4 item 1)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reid_tpu.config import (
+    Config, DataConfig, LossConfig, ModelConfig, RetrievalConfig, TrainConfig,
+)
+from reid_tpu.data import Market1501, ReIDDataset
+from reid_tpu.eval.inference import run_inference
+from reid_tpu.train.image_train import (
+    expand_classifier,
+    extract_embeddings,
+    produce_pseudo_data,
+    train_cnn,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_market(tmp_path_factory):
+    """4 ids x 8 images train, 4 queries, 12 gallery, distinctive colors."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("market")
+    rng = np.random.default_rng(0)
+    colors = {7: (220, 40, 40), 9: (40, 220, 40), 12: (40, 40, 220),
+              21: (220, 220, 40)}
+
+    def write(sub, pid, cam, seq, idx):
+        d = root / sub
+        d.mkdir(exist_ok=True)
+        base = np.zeros((64, 32, 3), np.uint8)
+        base[:] = colors[pid]
+        noise = rng.integers(-30, 30, base.shape)
+        arr = np.clip(base.astype(int) + noise, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(
+            d / f"{pid:04d}_c{cam}s{seq}_{idx:06d}_00.jpg")
+
+    for pid in colors:
+        for i in range(8):
+            write("bounding_box_train", pid, (i % 4) + 1, 1, i)
+    for i, pid in enumerate(colors):
+        write("query", pid, 5, 1, 100 + i)
+        for j in range(3):
+            write("bounding_box_test", pid, (j % 4) + 1, 1, 200 + 10 * i + j)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(
+        model=ModelConfig(backbone="seres18", num_classes=4, feat_dim=512,
+                          dtype="float32"),
+        loss=LossConfig(),
+        train=TrainConfig(batch_size=8, num_instances=2, epochs=2,
+                          warmup_epochs=1, hold_epochs=1, lr=3e-3),
+        data=DataConfig(height=64, width=32),
+        retrieval=RetrievalConfig(k1=6, k2=2, dbscan_eps=0.7,
+                                  dbscan_min_samples=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_market, cfg, tmp_path_factory):
+    ds_raw = Market1501(tiny_market, verbose=False)
+    train_ds = ReIDDataset(ds_raw.train, ds_raw.num_train_pids, 64, 32)
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    state, losses = train_cnn(cfg, train_ds, ckpt_dir=ckpt)
+    return ds_raw, state, losses
+
+
+def test_train_loss_finite(trained):
+    # NOTE: the loss value jumps between epoch 0 and 1 because the DCC luts
+    # are seeded at epoch 0 (objective changes, ref image_reid_train.py:70-74)
+    # — monotonic-decrease is asserted in test_train.py on a fixed objective.
+    _, _, losses = trained
+    assert np.isfinite(losses).all()
+
+
+def test_retrieval_eval_paths(trained, cfg):
+    ds_raw, state, _ = trained
+    query = ReIDDataset(ds_raw.query, 4, 64, 32)
+    gallery = ReIDDataset(ds_raw.gallery, 4, 64, 32)
+    cmc, mAP = run_inference(state, query, gallery, cfg, rerank=False,
+                             verbose=False)
+    assert 0.0 <= mAP <= 1.0 and cmc.shape[0] == 50
+    cmc_rr, mAP_rr = run_inference(state, query, gallery, cfg, rerank=True,
+                                   verbose=False)
+    assert 0.0 <= mAP_rr <= 1.0
+    # color-separable ids after 2 epochs: expect decent rank-1 on 4 queries
+    assert cmc[0] >= 0.5
+
+
+def test_pseudo_label_and_classifier_expansion(trained, cfg):
+    ds_raw, state, _ = trained
+    target = ReIDDataset(ds_raw.gallery, 4, 64, 32)
+    records, centroids, k = produce_pseudo_data(state, target, cfg)
+    assert k >= 1
+    assert all(r[1] >= cfg.model.num_classes for r in records)
+    new_state, new_cfg = expand_classifier(state, cfg, k, centroids)
+    assert new_cfg.model.num_classes == 4 + k
+    kern = new_state.params["classifier"]["kernel"]
+    assert kern.shape[1] == 4 + k
+    assert new_state.loss_state.centers.shape[0] == 4 + k
+    # one weighted train step runs on the expanded head
+    from reid_tpu.train.steps import make_train_step
+    step = make_train_step(new_cfg)
+    batch = {
+        "images": jnp.zeros((4, 64, 32, 3), jnp.float32),
+        "labels": jnp.asarray([0, 1, 4, 4 + k - 1], jnp.int32) % (4 + k),
+        "cams": jnp.zeros((4,), jnp.int32),
+        "weights": jnp.full((4,), 0.25, jnp.float32),
+    }
+    new_state, metrics = step(new_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_extract_embeddings_shape(trained, cfg):
+    ds_raw, state, _ = trained
+    query = ReIDDataset(ds_raw.query, 4, 64, 32)
+    emb = extract_embeddings(state, query, batch_size=8)
+    assert emb.shape == (len(query), 512 + 4)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
