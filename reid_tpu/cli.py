@@ -1,0 +1,309 @@
+"""Command-line entry points — the reference's L6 scripts rebuilt.
+
+Flag names track the reference parsers:
+  * train:     ref image_reid_train.py:559-592
+  * inference: ref image_reid_inference.py:138-158
+  * video:     ref video_reid_train.py:198-210
+  * gan:       ref gan/synthetic_main.py:454-471
+  * track:     ref modification_tracking/track_yolov5.py:352-392
+
+Launchers at the repo root: image_reid_train.py, image_reid_inference.py,
+video_reid_train.py, synthetic_main.py, track.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _base_cfg(args):
+    import jax.numpy as jnp
+
+    from .config import (Config, DataConfig, LossConfig, ModelConfig,
+                         RetrievalConfig, TrainConfig, TrackerConfig)
+
+    sizes = {"market1501": (256, 128), "dukemtmc": (256, 128),
+             "veri": (224, 224)}
+    h, w = sizes.get(args.dataset, (256, 128))
+    if getattr(args, "backbone", "") in ("vit", "swin_v1", "swin_v2"):
+        h, w = (448, 224) if args.dataset in ("market1501", "dukemtmc") \
+            else (224, 224)
+    n_cams = {"market1501": 6, "dukemtmc": 8, "veri": 20}.get(args.dataset, 6)
+    return Config(
+        model=ModelConfig(
+            backbone=getattr(args, "backbone", "seres18"),
+            num_cams=n_cams,
+            renorm=bool(getattr(args, "renorm", False)),
+            cam_factor=getattr(args, "cam_factor", -1.0),
+        ),
+        loss=LossConfig(
+            margin=getattr(args, "margin", 0.0),
+            center_lamda=getattr(args, "center_lamda", 5e-4),
+            epsilon=getattr(args, "epsilon", 0.0),
+            tao=getattr(args, "temperature", 1.0),
+            xbm=bool(getattr(args, "xbm", False)),
+        ),
+        train=TrainConfig(
+            batch_size=getattr(args, "bs", 64),
+            num_instances=getattr(args, "instance", 4),
+            epochs=getattr(args, "epochs", 60),
+            seed=getattr(args, "seed", 0),
+        ),
+        data=DataConfig(dataset=args.dataset, root=args.root,
+                        height=h, width=w),
+        retrieval=RetrievalConfig(
+            dbscan_eps=getattr(args, "eps", 0.55),
+        ),
+    )
+
+
+def train_main(argv=None):
+    """Ref image_reid_train.py main (:595-697) incl. the continual branch."""
+    p = argparse.ArgumentParser("image_reid_train")
+    p.add_argument("--root", default="data")
+    p.add_argument("--dataset", default="market1501",
+                   choices=["market1501", "dukemtmc", "veri"])
+    p.add_argument("--backbone", default="seres18")
+    p.add_argument("--bs", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--instance", type=int, default=4)
+    p.add_argument("--margin", type=float, default=0.0)
+    p.add_argument("--epsilon", type=float, default=0.0)
+    p.add_argument("--center_lamda", type=float, default=5e-4)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--cam_factor", type=float, default=-1.0)
+    p.add_argument("--renorm", action="store_true")
+    p.add_argument("--xbm", action="store_true")
+    p.add_argument("--continual", action="store_true")
+    p.add_argument("--target_dataset", default="dukemtmc")
+    p.add_argument("--target_root", default="data")
+    p.add_argument("--eps", type=float, default=0.55)
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from .data import ReIDDataset, build_dataset
+    from .train.image_train import (produce_pseudo_data, train_cnn,
+                                    train_continual)
+
+    raw = build_dataset(args.dataset, args.root)
+    cfg = _base_cfg(args).replace()
+    cfg = cfg.replace(model=cfg.model.__class__(
+        **{**cfg.model.__dict__, "num_classes": raw.num_train_pids}))
+    dataset = ReIDDataset(raw.train, raw.num_train_pids,
+                          cfg.data.height, cfg.data.width)
+    state, losses = train_cnn(cfg, dataset, use_xbm=args.xbm)
+
+    if args.continual:
+        t_raw = build_dataset(args.target_dataset, args.target_root)
+        target = ReIDDataset(t_raw.train, t_raw.num_train_pids,
+                             cfg.data.height, cfg.data.width)
+        records, centroids, k = produce_pseudo_data(state, target, cfg)
+        state, losses = train_continual(cfg, state, dataset, records,
+                                        centroids, k)
+    print("training complete")
+    return state
+
+
+def inference_main(argv=None):
+    """Ref image_reid_inference.py main (:161-320)."""
+    p = argparse.ArgumentParser("image_reid_inference")
+    p.add_argument("--root", default="data")
+    p.add_argument("--dataset", default="market1501",
+                   choices=["market1501", "dukemtmc", "veri"])
+    p.add_argument("--backbone", default="seres18")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--bs", type=int, default=64)
+    p.add_argument("--no-rerank", action="store_true")
+    p.add_argument("--eps", type=float, default=0.55)
+    p.add_argument("--attributes_mat", default="")
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from .data import ReIDDataset, build_dataset
+    from .eval.inference import run_inference
+    from .models import build_model
+    from .train.state import create_train_state
+    from .utils import restore_checkpoint
+
+    raw = build_dataset(args.dataset, args.root)
+    cfg = _base_cfg(args)
+    cfg = cfg.replace(model=cfg.model.__class__(
+        **{**cfg.model.__dict__, "num_classes": raw.num_train_pids}))
+    model = build_model(cfg.model.backbone, num_classes=raw.num_train_pids,
+                        num_cams=cfg.model.num_cams)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg, 1,
+                               input_shape=(2, cfg.data.height,
+                                            cfg.data.width, 3))
+    state = restore_checkpoint(args.ckpt, state)
+
+    query = ReIDDataset(raw.query, raw.num_train_pids, cfg.data.height,
+                        cfg.data.width)
+    gallery = ReIDDataset(raw.gallery, raw.num_train_pids, cfg.data.height,
+                          cfg.data.width)
+    attribute_dist = None
+    if args.attributes_mat and args.dataset == "market1501":
+        from .eval.attributes import get_attribute_dist, get_attributes
+        ids, attrs = get_attributes(args.attributes_mat)
+        pids = np.concatenate([gallery.labels, query.labels])
+        attribute_dist = get_attribute_dist(ids, attrs, pids)
+    cmc, mAP = run_inference(state, query, gallery, cfg,
+                             rerank=not args.no_rerank,
+                             attribute_dist=attribute_dist)
+    return cmc, mAP
+
+
+def video_main(argv=None):
+    """Ref video_reid_train.py main (:198-231)."""
+    p = argparse.ArgumentParser("video_reid_train")
+    p.add_argument("--gt_paths", nargs="+", required=True)
+    p.add_argument("--prefix", default="datasets/MOT16/train/")
+    p.add_argument("--bs", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--seq_len", type=int, default=10)
+    p.add_argument("--crop_factor", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    from .config import Config
+    from .train.video_train import VideoTrackletDataset, train_video
+
+    ds = VideoTrackletDataset(args.gt_paths, seq_len=args.seq_len,
+                              lamda=args.crop_factor,
+                              prefix_image_path=args.prefix)
+    variables, losses = train_video(Config(), ds, epochs=args.epochs,
+                                    batch_size=args.bs,
+                                    seq_len=args.seq_len)
+    print(f"video training complete; final loss {losses[-1]:.4f}")
+    return variables
+
+
+def gan_main(argv=None):
+    """Ref gan/synthetic_main.py main (:454-506)."""
+    p = argparse.ArgumentParser("synthetic_main")
+    p.add_argument("--root", default="data")
+    p.add_argument("--bs", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--nz", type=int, default=100)
+    p.add_argument("--groups", type=int, default=1)
+    p.add_argument("--n_images", type=int, default=1000)
+    p.add_argument("--out", default="synthetic_images")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from .data import Market1501, ReIDDataset
+    from .gan import (Discriminator, Generator, create_gan_state,
+                      generate_images, make_dcgan_steps)
+    from .ops import kmeans
+
+    raw = Market1501(args.root)
+    ds = ReIDDataset(raw.train + raw.gallery, raw.num_train_pids, 128, 64)
+    gen = Generator(nz=args.nz)
+    disc = Discriminator()
+    state, g_tx, d_tx = create_gan_state(jax.random.PRNGKey(0), gen, disc,
+                                         nz=args.nz)
+    step = make_dcgan_steps(gen, disc, g_tx, d_tx, nz=args.nz)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    for epoch in range(args.epochs):
+        order = rng.permutation(len(ds))
+        for s in range(0, len(order) - args.bs + 1, args.bs):
+            imgs = np.stack([ds.load_image(int(i))
+                             for i in order[s:s + args.bs]])
+            real = jnp.asarray(imgs, jnp.float32) / 127.5 - 1.0
+            key, k = jax.random.split(key)
+            state, metrics = step(state, real, k)
+        print(f"epoch {epoch}: d={float(metrics['d_loss']):.3f} "
+              f"g={float(metrics['g_loss']):.3f}", flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    imgs = generate_images(gen, state, jax.random.PRNGKey(2), args.n_images,
+                           nz=args.nz)
+    for i, im in enumerate(((imgs + 1) * 127.5).clip(0, 255).astype("uint8")):
+        Image.fromarray(im).save(os.path.join(args.out, f"gen_{i:05d}.jpg"))
+    print(f"wrote {len(imgs)} images to {args.out}")
+
+
+def track_main(argv=None):
+    """Ref track_yolov5.py (:352-392): detections file + frames -> MOT txt."""
+    p = argparse.ArgumentParser("track")
+    p.add_argument("--detections", required=True,
+                   help="MOT-format det file (detector is pluggable)")
+    p.add_argument("--frames_dir", default="",
+                   help="img1 directory; omit to track without appearance")
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--backbone", default="seres18")
+    p.add_argument("--num_classes", type=int, default=751)
+    p.add_argument("--tracking_method", default="strongsort",
+                   choices=["strongsort", "deepocsort", "ocsort",
+                            "bytetrack", "botsort"])
+    p.add_argument("--save_txt", default="out.txt")
+    p.add_argument("--conf_thres", type=float, default=0.5)
+    p.add_argument("--max_dets", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from .config import TrackerConfig
+    from .models import build_model
+    from .tracking.methods import method_config
+    from .tracking.mot import load_mot_detections
+    from .tracking.pipeline import TrackingPipeline
+
+    cfg = method_config(args.tracking_method,
+                        min_confidence=args.conf_thres,
+                        max_dets=args.max_dets)
+    model = build_model(args.backbone, num_classes=args.num_classes,
+                        dtype=jnp.bfloat16)
+    dummy = jnp.zeros((2, *cfg.crop_hw, 3), jnp.bfloat16)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), dummy)
+    if args.ckpt:
+        from .utils import restore_checkpoint
+        variables = restore_checkpoint(args.ckpt, variables)
+
+    def embed_fn(params, batch_stats, crops):
+        feat, logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops.astype(jnp.bfloat16), train=False)
+        f = jnp.concatenate([feat.astype(jnp.float32),
+                             logits.astype(jnp.float32)], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    feat_dim = 512 + args.num_classes
+    pipe = TrackingPipeline(cfg, embed_fn, variables["params"],
+                            variables.get("batch_stats", {}), feat_dim)
+    dets = load_mot_detections(args.detections, cfg.max_dets,
+                               min_conf=args.conf_thres)
+    frames = sorted(glob.glob(os.path.join(args.frames_dir, "*.jpg"))) \
+        if args.frames_dir else []
+    n_frames = max(dets) if dets else 0
+    blank = np.zeros((64, 64, 3), np.uint8)
+    for f_idx in range(1, n_frames + 1):
+        tlwh, conf, valid = dets.get(
+            f_idx, (np.zeros((cfg.max_dets, 4), np.float32),
+                    np.zeros(cfg.max_dets, np.float32),
+                    np.zeros(cfg.max_dets, bool)))
+        if frames and f_idx <= len(frames):
+            frame = np.asarray(Image.open(frames[f_idx - 1]).convert("RGB"))
+        else:
+            frame = blank
+        pipe.step(f_idx, frame, tlwh, conf, valid)
+    rows = pipe.write(args.save_txt)
+    print(f"{rows} rows -> {args.save_txt}; "
+          f"timing: {pipe.timing_summary()}")
+    return rows

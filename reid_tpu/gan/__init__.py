@@ -1,0 +1,20 @@
+"""Synthetic-data GAN subsystem. Reference: `gan/` (SURVEY.md §2.6) —
+DCGAN/SNGAN generator, discriminator (plain/spectral/Wasserstein/VAE heads),
+VAE-GAN, categorical conditional BN, EMA generator, k-means appearance
+grouping, LSRO uniform-label loss for synthetic samples."""
+
+from .models import (
+    VAE,
+    CategoricalConditionalBN,
+    Discriminator,
+    Generator,
+    SelfAttention,
+)
+from .train import (
+    GANState,
+    create_gan_state,
+    ema_update,
+    generate_images,
+    lsro_loss,
+    make_dcgan_steps,
+)

@@ -12,6 +12,8 @@ track-slot SoA (masks instead of Python track objects) — this removes the
 reference's per-frame device->host hop (`track_yolov5.py:253` det.cpu()).
 """
 
+from .gmc import estimate_affine
+from .methods import method_config
 from .kalman import (
     kalman_gating_distance,
     kalman_initiate,

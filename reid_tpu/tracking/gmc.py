@@ -1,0 +1,71 @@
+"""Camera motion compensation (GMC) — host-side affine estimation.
+
+Role of the submodule's `tracker.camera_update(prev, curr)` hook invoked at
+ref `track_yolov5.py:229-231` (botsort-style). Estimates a 2x3 affine from
+sparse feature correspondences (OpenCV if present) or phase-correlation
+translation (pure NumPy fallback); `tracker.apply_gmc` then warps the track
+means on device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def estimate_affine(prev: np.ndarray, curr: np.ndarray,
+                    downscale: int = 2) -> np.ndarray:
+    """Returns a 2x3 affine mapping prev-frame coords to curr-frame coords."""
+    identity = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+    if prev is None or curr is None:
+        return identity
+
+    def gray(img):
+        img = np.asarray(img)
+        if img.ndim == 3:
+            img = img.mean(axis=-1)
+        if downscale > 1:
+            img = img[::downscale, ::downscale]
+        return img.astype(np.float32)
+
+    g0, g1 = gray(prev), gray(curr)
+    if _HAS_CV2:
+        p0 = cv2.goodFeaturesToTrack(g0.astype(np.uint8), maxCorners=200,
+                                     qualityLevel=0.01, minDistance=8)
+        if p0 is None or len(p0) < 8:
+            return identity
+        p1, st, _ = cv2.calcOpticalFlowPyrLK(
+            g0.astype(np.uint8), g1.astype(np.uint8), p0, None)
+        good = st.reshape(-1) == 1
+        if good.sum() < 8:
+            return identity
+        m, _ = cv2.estimateAffinePartial2D(p0[good], p1[good],
+                                           method=cv2.RANSAC)
+        if m is None:
+            return identity
+        m = m.astype(np.float32)
+        m[:, 2] *= downscale
+        return m
+
+    # NumPy fallback: translation-only via phase correlation.
+    f0 = np.fft.rfft2(g0 - g0.mean())
+    f1 = np.fft.rfft2(g1 - g1.mean())
+    cross = f0 * np.conj(f1)
+    denom = np.maximum(np.abs(cross), 1e-9)
+    corr = np.fft.irfft2(cross / denom, s=g0.shape)
+    dy, dx = np.unravel_index(np.argmax(corr), corr.shape)
+    if dy > g0.shape[0] // 2:
+        dy -= g0.shape[0]
+    if dx > g0.shape[1] // 2:
+        dx -= g0.shape[1]
+    out = identity.copy()
+    out[0, 2] = -dx * downscale
+    out[1, 2] = -dy * downscale
+    return out

@@ -1,0 +1,110 @@
+"""GAN subsystem tests: generator/discriminator/VAE shapes, DCGAN step
+schedule (G every 3rd, label flip every 5th), EMA, LSRO loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reid_tpu.gan import (
+    VAE,
+    CategoricalConditionalBN,
+    Discriminator,
+    Generator,
+    create_gan_state,
+    ema_update,
+    generate_images,
+    lsro_loss,
+    make_dcgan_steps,
+)
+
+
+def test_generator_shapes_both_variants():
+    for spectral in (True, False):
+        g = Generator(nz=16, ngf=8, spectral=spectral)
+        z = jnp.zeros((2, 16))
+        v = g.init(jax.random.PRNGKey(0), z, train=True)
+        out, _ = g.apply(v, z, train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 128, 64, 3), spectral
+        assert float(jnp.max(jnp.abs(out))) <= 1.0
+
+
+def test_discriminator_heads():
+    x = jnp.zeros((2, 128, 64, 3))
+    d = Discriminator(ndf=8, spectral=True)
+    v = d.init(jax.random.PRNGKey(0), x, train=True)
+    s, _ = d.apply(v, x, train=True, mutable=["batch_stats"])
+    assert s.shape == (2, 1) and 0 <= float(s[0, 0]) <= 1
+
+    dw = Discriminator(ndf=8, spectral=False, wasserstein=True)
+    vw = dw.init(jax.random.PRNGKey(0), x, train=True)
+    sw, _ = dw.apply(vw, x, train=True, mutable=["batch_stats"])
+    assert sw.shape == (2, 1)
+
+    dv = Discriminator(ndf=8, spectral=False, vae=True)
+    vv = dv.init(jax.random.PRNGKey(0), x, train=True)
+    (sv, feats), _ = dv.apply(vv, x, train=True, mutable=["batch_stats"])
+    assert sv.shape == (2, 1) and feats.shape[0] == 2
+
+
+def test_vae_roundtrip():
+    m = VAE(zdim=16)
+    x = jnp.zeros((2, 128, 64, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1),
+               train=True)
+    (mean, var, recon), _ = m.apply(v, x, jax.random.PRNGKey(2), train=True,
+                                    mutable=["batch_stats"])
+    assert mean.shape == (2, 16) and var.shape == (2, 16)
+    assert recon.shape == (2, 128, 64, 3)
+    # decode-only path
+    z = jnp.zeros((3, 16))
+    imgs = m.apply(v, z, train=False, method=VAE.decode)
+    assert imgs.shape == (3, 128, 64, 3)
+
+
+def test_conditional_bn():
+    m = CategoricalConditionalBN(num_classes=4, features=8)
+    x = jnp.ones((2, 4, 4, 8))
+    y = jnp.asarray([0, 3])
+    v = m.init(jax.random.PRNGKey(0), x, y, train=True)
+    out, _ = m.apply(v, x, y, train=True, mutable=["batch_stats"])
+    assert out.shape == x.shape
+
+
+def test_dcgan_training_schedule(rng):
+    gen = Generator(nz=8, ngf=4, spectral=False)
+    disc = Discriminator(ndf=4, spectral=False)
+    state, g_tx, d_tx = create_gan_state(jax.random.PRNGKey(0), gen, disc,
+                                         nz=8)
+    step = make_dcgan_steps(gen, disc, g_tx, d_tx, nz=8)
+    real = jnp.asarray(rng.uniform(-1, 1, (4, 128, 64, 3)), jnp.float32)
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    g_losses = []
+    for i in range(3):
+        state, m = step(state, real, jax.random.PRNGKey(i))
+        g_losses.append(float(m["g_loss"]))
+        assert np.isfinite(float(m["d_loss"]))
+    # G updates only on the 3rd step (step index 2)
+    assert g_losses[0] == 0.0 and g_losses[1] == 0.0 and g_losses[2] != 0.0
+    g1 = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    # sampling with EMA works
+    imgs = generate_images(gen, state, jax.random.PRNGKey(9), n=5, nz=8,
+                           batch=4)
+    assert imgs.shape == (5, 128, 64, 3)
+
+
+def test_ema_update():
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    out = ema_update(ema, params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
+
+
+def test_lsro_loss():
+    logits = jnp.asarray([[10.0, 0.0], [10.0, 0.0]])
+    labels = jnp.asarray([0, 0])
+    # real sample: low CE; generated: pulled to uniform (higher loss)
+    real = float(lsro_loss(logits, labels, jnp.asarray([0, 0])))
+    mixed = float(lsro_loss(logits, labels, jnp.asarray([0, 1])))
+    assert mixed > real
