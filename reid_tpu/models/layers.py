@@ -68,7 +68,7 @@ class BatchRenorm(nn.Module):
     r_max_final: float = 3.0
     d_max_final: float = 5.0
     warmup_steps: int = 500
-    use_running_average: bool = False
+    use_running_average: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -107,6 +107,83 @@ class BatchRenorm(nn.Module):
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * var
+                steps.value = steps.value + 1
+        y = y * gamma + beta
+        return y.astype(self.dtype)
+
+
+class BatchRenormNonIID(nn.Module):
+    """Non-iid batch renorm for PK-sampled batches. Ref batchrenorm.py:155-225.
+
+    The batch is regrouped into per-identity groups of `group_size` (the K of
+    PK sampling); statistics are computed per group (group-norm-like over
+    (K, H, W)) and renorm-corrected against the running stats. Eval blends
+    per-instance statistics with the running stats (ref :216-225).
+    """
+    group_size: int = 4
+    momentum: float = 0.01
+    epsilon: float = 1e-5
+    r_max_final: float = 3.0
+    d_max_final: float = 5.0
+    warmup_steps: int = 500
+    eval_blend: float = 0.2      # weight of instance stats at eval
+    use_running_average: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        b, h, w, c = x.shape
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        steps = self.variable("batch_stats", "steps",
+                              lambda: jnp.zeros((), jnp.int32))
+        xf = x.astype(jnp.float32)
+
+        if use_ra:
+            # blend instance stats into the running stats (ref :216-225)
+            inst_mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+            inst_var = jnp.mean(jnp.square(xf - inst_mean), axis=(1, 2),
+                                keepdims=True)
+            mean = (1 - self.eval_blend) * ra_mean.value + \
+                self.eval_blend * inst_mean
+            var = (1 - self.eval_blend) * ra_var.value + \
+                self.eval_blend * inst_var
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        else:
+            k = min(self.group_size, b)
+            g = b // k
+            xg = xf[: g * k].reshape(g, k, h, w, c)
+            mean_g = jnp.mean(xg, axis=(1, 2, 3), keepdims=True)   # per group
+            var_g = jnp.mean(jnp.square(xg - mean_g), axis=(1, 2, 3),
+                             keepdims=True)
+            std_g = jnp.sqrt(var_g + self.epsilon)
+            ra_std = jnp.sqrt(ra_var.value + self.epsilon)
+            t = jnp.clip((steps.value - self.warmup_steps).astype(jnp.float32)
+                         / self.warmup_steps, 0.0, 1.0)
+            r_max = 1.0 + (self.r_max_final - 1.0) * t
+            d_max = self.d_max_final * t
+            r = jax.lax.stop_gradient(
+                jnp.clip(std_g / ra_std, 1.0 / r_max, r_max))
+            d = jax.lax.stop_gradient(
+                jnp.clip((mean_g - ra_mean.value) / ra_std, -d_max, d_max))
+            y = (((xg - mean_g) / std_g) * r + d).reshape(g * k, h, w, c)
+            if b > g * k:  # ragged tail falls back to batch stats
+                tail = (xf[g * k:] - jnp.mean(mean_g, axis=0)) / \
+                    jnp.mean(std_g, axis=0)
+                y = jnp.concatenate([y, tail], axis=0)
+            if not self.is_initializing():
+                m = self.momentum
+                batch_mean = jnp.mean(xf, axis=(0, 1, 2))
+                batch_var = jnp.mean(jnp.square(xf - batch_mean), axis=(0, 1, 2))
+                ra_mean.value = (1 - m) * ra_mean.value + m * batch_mean
+                ra_var.value = (1 - m) * ra_var.value + m * batch_var
                 steps.value = steps.value + 1
         y = y * gamma + beta
         return y.astype(self.dtype)

@@ -1,0 +1,77 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (SURVEY.md §4 rec (c)):
+data-parallel train step, sharded gallery top-k vs single-device oracle,
+replicated-param invariance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reid_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+from reid_tpu.models import build_model
+from reid_tpu.parallel import make_mesh, replicate, shard_batch, \
+    sharded_gallery_topk
+from reid_tpu.train import create_train_state, make_train_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_sharded_gallery_topk_matches_dense(rng):
+    mesh = make_mesh(8)
+    gallery = jnp.asarray(rng.normal(size=(64, 16)), jnp.float32)
+    query = jnp.asarray(rng.normal(size=(5, 16)), jnp.float32)
+    dists, idx = sharded_gallery_topk(mesh, query, gallery, k=4)
+    d2 = np.asarray(
+        ((np.asarray(query)[:, None] - np.asarray(gallery)[None]) ** 2).sum(-1))
+    want_idx = np.argsort(d2, axis=1)[:, :4]
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dists), 1),
+        np.sort(np.take_along_axis(d2, want_idx, 1), 1), rtol=1e-4, atol=1e-4)
+
+
+def test_dp_train_step_multidevice(rng):
+    mesh = make_mesh(8)
+    cfg = Config(model=ModelConfig(num_classes=8),
+                 train=TrainConfig(batch_size=16, num_instances=2, epochs=2,
+                                   warmup_epochs=1, hold_epochs=1))
+    model = build_model("seres18", num_classes=8)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg,
+                               steps_per_epoch=2,
+                               input_shape=(2, 32, 16, 3))
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, {
+        "images": jnp.asarray(rng.normal(size=(16, 32, 16, 3)), jnp.float32),
+        "labels": jnp.asarray(np.arange(16) % 8, jnp.int32),
+        "cams": jnp.zeros((16,), jnp.int32),
+    })
+    step = make_train_step(cfg)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params remain replicated (single logical value)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device(rng):
+    """The sharded step computes the same loss as the unsharded step
+    (GSPMD global BN statistics == single-device statistics)."""
+    cfg = Config(model=ModelConfig(num_classes=4),
+                 train=TrainConfig(batch_size=8, num_instances=2, epochs=2,
+                                   warmup_epochs=1, hold_epochs=1))
+    model = build_model("seres18", num_classes=4)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg,
+                               steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+    batch_np = {
+        "images": rng.normal(size=(8, 32, 16, 3)).astype(np.float32),
+        "labels": (np.arange(8) % 4).astype(np.int32),
+        "cams": np.zeros(8, np.int32),
+    }
+    step = make_train_step(cfg)
+    _, m_single = step(state, jax.tree_util.tree_map(jnp.asarray, batch_np))
+
+    mesh = make_mesh(8)
+    state_r = replicate(mesh, state)
+    batch_s = shard_batch(mesh, batch_np)
+    _, m_shard = step(state_r, batch_s)
+    assert abs(float(m_single["loss"]) - float(m_shard["loss"])) < 1e-3
