@@ -82,9 +82,38 @@ class ReIDDataset:
             self._cache[index] = arr
         return arr
 
+    def _fill_cache_native(self, indices: Sequence[int]) -> bool:
+        """Batch-decode uncached JPEGs with the C++ loader (pthread pool +
+        libjpeg, reid_tpu.native); returns False when unavailable."""
+        missing = [i for i in indices if i not in self._cache]
+        if not missing:
+            return True
+        paths = [self.records[i][0] for i in missing]
+        if not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            return False
+        try:
+            from .. import native
+            if not native.available():
+                return False
+            batch = native.decode_batch(paths, self.height, self.width)
+        except Exception:
+            return False
+        for i, arr in zip(missing, batch):
+            if self._cache_enabled:
+                self._cache[i] = arr
+        if not self._cache_enabled:
+            self._tmp = dict(zip(missing, batch))
+        return True
+
     def gather(self, indices: Sequence[int]) -> dict:
         """Assemble a host batch dict for the given indices."""
-        images = np.stack([self.load_image(i) for i in indices])
+        self._tmp = {}
+        self._fill_cache_native(indices)
+        tmp = getattr(self, "_tmp", {})
+        images = np.stack([
+            tmp[i] if i in tmp else self.load_image(i) for i in indices
+        ])
+        self._tmp = {}
         recs = [self.records[i] for i in indices]
         return {
             "images": images,

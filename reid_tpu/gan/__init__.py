@@ -17,4 +17,5 @@ from .train import (
     generate_images,
     lsro_loss,
     make_dcgan_steps,
+    make_vaegan_steps,
 )

@@ -150,6 +150,106 @@ def generate_images(generator, state: GANState, key, n: int, nz: int = 100,
     return np.concatenate(out)[:n]
 
 
+def make_vaegan_steps(vae, discriminator, vae_tx, d_tx,
+                      zdim: int = 128, wasserstein: bool = False,
+                      gp_weight: float = 10.0, recon_weight: float = 1.0,
+                      kl_weight: float = 1e-3, adv_weight: float = 1e-2):
+    """VAE-GAN trainer (ref synthetic_main.py:103-266): the VAE minimizes
+    reconstruction + KL + adversarial terms; D discriminates real vs
+    reconstruction, optionally Wasserstein with gradient penalty."""
+
+    class VGState(NamedTuple):
+        step: jnp.ndarray
+        vae_params: Any
+        vae_stats: Any
+        d_params: Any
+        d_stats: Any
+        vae_opt: Any
+        d_opt: Any
+
+    def init(key, image_shape=(128, 64, 3)):
+        kv, kd, kr = jax.random.split(key, 3)
+        x = jnp.zeros((2, *image_shape))
+        vv = vae.init({"params": kv}, x, kr, train=True)
+        dv = discriminator.init(kd, x, train=True)
+        return VGState(
+            step=jnp.zeros((), jnp.int32),
+            vae_params=vv["params"], vae_stats=vv.get("batch_stats", {}),
+            d_params=dv["params"], d_stats=dv.get("batch_stats", {}),
+            vae_opt=vae_tx.init(vv["params"]), d_opt=d_tx.init(dv["params"]),
+        )
+
+    def d_score(d_params, d_stats, x):
+        out, mut = discriminator.apply(
+            {"params": d_params, "batch_stats": d_stats}, x, train=True,
+            mutable=["batch_stats"])
+        score = out[0] if isinstance(out, tuple) else out
+        return score, mut["batch_stats"]
+
+    @jax.jit
+    def step(state, real, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+
+        def vae_loss(vae_params):
+            (mean, var, recon), mut = vae.apply(
+                {"params": vae_params, "batch_stats": state.vae_stats},
+                real, k1, train=True, mutable=["batch_stats"])
+            rec = jnp.mean(jnp.square(recon - real))
+            kl = 0.5 * jnp.mean(mean ** 2 + var ** 2
+                                - jnp.log(jnp.maximum(var ** 2, 1e-8)) - 1.0)
+            score, _ = d_score(state.d_params, state.d_stats, recon)
+            if wasserstein:
+                adv = -jnp.mean(score)
+            else:
+                adv = -jnp.mean(jnp.log(jnp.clip(score, 1e-6, 1.0)))
+            total = recon_weight * rec + kl_weight * kl + adv_weight * adv
+            return total, (rec, kl, mut["batch_stats"], recon)
+
+        (v_loss, (rec, kl, new_vstats, recon)), v_grads = \
+            jax.value_and_grad(vae_loss, has_aux=True)(state.vae_params)
+        v_updates, new_vopt = vae_tx.update(v_grads, state.vae_opt,
+                                            state.vae_params)
+        new_vparams = optax.apply_updates(state.vae_params, v_updates)
+
+        fake = jax.lax.stop_gradient(recon)
+
+        def d_loss_fn(d_params):
+            rs, ds1 = d_score(d_params, state.d_stats, real)
+            fs, ds2 = d_score(d_params, ds1, fake)
+            if wasserstein:
+                loss = jnp.mean(fs) - jnp.mean(rs)
+                # gradient penalty on interpolates (ref WGAN-GP path)
+                eps = jax.random.uniform(k2, (real.shape[0], 1, 1, 1))
+                inter = eps * real + (1 - eps) * fake
+
+                def score_of(x):
+                    s, _ = d_score(d_params, ds2, x)
+                    return jnp.sum(s)
+
+                g = jax.grad(score_of)(inter)
+                gnorm = jnp.sqrt(jnp.sum(g ** 2, axis=(1, 2, 3)) + 1e-12)
+                loss = loss + gp_weight * jnp.mean((gnorm - 1.0) ** 2)
+            else:
+                loss = (-jnp.mean(jnp.log(jnp.clip(rs, 1e-6, 1.0)))
+                        - jnp.mean(jnp.log(jnp.clip(1 - fs, 1e-6, 1.0))))
+            return loss, ds2
+
+        (d_loss, new_dstats), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, new_dopt = d_tx.update(d_grads, state.d_opt,
+                                          state.d_params)
+        new_dparams = optax.apply_updates(state.d_params, d_updates)
+
+        new_state = state._replace(
+            step=state.step + 1, vae_params=new_vparams,
+            vae_stats=new_vstats, d_params=new_dparams, d_stats=new_dstats,
+            vae_opt=new_vopt, d_opt=new_dopt)
+        return new_state, {"vae_loss": v_loss, "recon": rec, "kl": kl,
+                           "d_loss": d_loss}
+
+    return init, step
+
+
 def lsro_loss(logits: jnp.ndarray, labels: jnp.ndarray,
               is_generated: jnp.ndarray) -> jnp.ndarray:
     """LSRO (ref train_baseline.py:149-179): CE for real samples, uniform

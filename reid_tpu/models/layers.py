@@ -298,6 +298,36 @@ class GeM3D(nn.Module):
         return pooled.astype(self.dtype)
 
 
+class AttentionPooling(nn.Module):
+    """CLIP-style attention pooling over a token/spatial axis.
+
+    Ref attention_pooling.py:7-46: a learned mean-query attends over the
+    tokens (keys/values = tokens + mean), producing a single pooled vector.
+    Input (N, L, C) -> (N, C).
+    """
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, l, c = x.shape
+        mean = jnp.mean(x, axis=1, keepdims=True)          # (N, 1, C)
+        tokens = jnp.concatenate([mean, x], axis=1)        # (N, L+1, C)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(mean)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(tokens)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(tokens)
+        h = self.num_heads
+        d = c // h
+        q = q.reshape(n, 1, h, d)
+        k = k.reshape(n, l + 1, h, d)
+        v = v.reshape(n, l + 1, h, d)
+        att = jax.nn.softmax(
+            jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32)
+            / jnp.sqrt(d), -1).astype(self.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", att, v).reshape(n, 1, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)[:, 0]
+
+
 class BNNeck(nn.Module):
     """BatchNorm neck with frozen (zero) bias + bias-free classifier.
 

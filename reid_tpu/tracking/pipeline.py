@@ -26,15 +26,43 @@ from .tracker import Tracker, TrackerState
 from .mot import write_mot_txt
 
 
+def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
+                         ch: int, cw: int) -> jnp.ndarray:
+    """Gather-based batched crop+resize: (H, W, 3) x (D, 4 tlwh) ->
+    (D, ch, cw, 3). Four clipped gathers + lerp — compiles to a tiny HLO
+    (vmapped `jax.image.scale_and_translate` builds per-crop weight matmuls
+    whose XLA program is enormous; measured 10+ min compiles at 512 crops)."""
+    h, w = img.shape[0], img.shape[1]
+    ys = (jnp.arange(ch, dtype=jnp.float32) + 0.5) / ch      # (ch,)
+    xs = (jnp.arange(cw, dtype=jnp.float32) + 0.5) / cw      # (cw,)
+    sy = boxes[:, 1:2] + ys[None, :] * boxes[:, 3:4] - 0.5   # (D, ch)
+    sx = boxes[:, 0:1] + xs[None, :] * boxes[:, 2:3] - 0.5   # (D, cw)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0)[:, :, None, None]                         # (D, ch, 1, 1)
+    wx = (sx - x0)[:, None, :, None]                         # (D, 1, cw, 1)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+
+    def g(yi, xi):  # (D, ch) x (D, cw) -> (D, ch, cw, 3)
+        return img[yi[:, :, None], xi[:, None, :]]
+
+    top = g(y0c, x0c) * (1 - wx) + g(y0c, x1c) * wx
+    bot = g(y1c, x0c) * (1 - wx) + g(y1c, x1c) * wx
+    return top * (1 - wy) + bot * wy
+
+
 def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
                     max_dets: int):
     """Returns jit fn(frame (H,W,3) uint8, tlwh (D,4)) -> (D, F) embeddings.
 
-    Crops + resizes each detection box to `crop_hw` with
-    `jax.image.scale_and_translate` (batched), normalizes (ImageNet), and
-    embeds. Invalid boxes produce garbage rows that the tracker masks out.
-    Replaces the reference's per-crop cv2 resize + torchvision normalize
-    inside the submodule's ReID multibackend.
+    Crops + resizes each detection box to `crop_hw` on device (gather
+    bilinear), normalizes (ImageNet), and embeds. Invalid boxes produce
+    garbage rows that the tracker masks out. Replaces the reference's
+    per-crop cv2 resize + torchvision normalize inside the submodule's ReID
+    multibackend.
     """
     ch, cw = crop_hw
     mean = jnp.asarray((0.485, 0.456, 0.406))
@@ -43,22 +71,54 @@ def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
     @jax.jit
     def crop_embed(params, batch_stats, frame, tlwh):
         img = frame.astype(jnp.float32) / 255.0
-
-        def one(box):
-            x, y, w, h = box[0], box[1], box[2], box[3]
-            scale = jnp.stack([ch / jnp.maximum(h, 1e-3),
-                               cw / jnp.maximum(w, 1e-3)])
-            translation = jnp.stack([-y * scale[0], -x * scale[1]])
-            return jax.image.scale_and_translate(
-                img, (ch, cw, 3), (0, 1), scale, translation,
-                method="bilinear",
-            )
-
-        crops = jax.vmap(one)(tlwh)                    # (D, ch, cw, 3)
+        crops = crop_resize_bilinear(img, tlwh, ch, cw)    # (D, ch, cw, 3)
         crops = (crops - mean) / std
         return embed_fn(params, batch_stats, crops)
 
     return crop_embed
+
+
+def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
+                         chunk: int = 16):
+    """One jit program tracking a CHUNK of frames end-to-end on device.
+
+    This is the throughput path (north star >=200 fps/chip): per chunk of T
+    frames, all T x D crops are gathered+resized and embedded in ONE batched
+    forward (the MXU sees a T*D crop batch instead of D), then the sequential
+    association runs as a lax.scan carrying TrackerState. The host only
+    feeds frames/detections and drains outputs chunk-by-chunk — per-frame
+    dispatch latency is amortized by T.
+    """
+    import functools
+
+    from .tracker import _update_impl
+
+    ch, cw = crop_hw
+    mean = jnp.asarray((0.485, 0.456, 0.406))
+    std = jnp.asarray((0.229, 0.224, 0.225))
+
+    @jax.jit
+    def run_chunk(params, batch_stats, state, frames, tlwh, conf, valid):
+        # frames (T, H, W, 3) uint8; tlwh (T, D, 4); conf/valid (T, D)
+        t, d = tlwh.shape[:2]
+        imgs = frames.astype(jnp.float32) / 255.0
+        crops = jax.vmap(
+            lambda img, boxes: crop_resize_bilinear(img, boxes, ch, cw)
+        )(imgs, tlwh)                                      # (T, D, ch, cw, 3)
+        crops = (crops - mean) / std
+        feats = embed_fn(params, batch_stats,
+                         crops.reshape(t * d, ch, cw, 3)).reshape(t, d, -1)
+
+        def scan_step(st, frame_inputs):
+            boxes, c, f, v = frame_inputs
+            st, out = _update_impl(cfg, st, boxes, c, f, v)
+            return st, out
+
+        state, outputs = jax.lax.scan(scan_step, state,
+                                      (tlwh, conf, feats, valid))
+        return state, outputs
+
+    return run_chunk
 
 
 class TrackingPipeline:
@@ -69,6 +129,7 @@ class TrackingPipeline:
         self.cfg = cfg
         self.tracker = Tracker(cfg, feat_dim=feat_dim)
         self.state = self.tracker.init_state()
+        self.crop_embed_raw = embed_fn
         self.crop_embed = make_crop_embed(embed_fn, cfg.crop_hw, cfg.max_dets)
         self.params = params
         self.batch_stats = batch_stats
@@ -97,6 +158,57 @@ class TrackingPipeline:
             "valid": out["valid"],
         })
         return out
+
+    def run_sequence(self, frames: np.ndarray, tlwh: np.ndarray,
+                     conf: np.ndarray, valid: np.ndarray,
+                     chunk: int = 16, first_frame: int = 1):
+        """Chunked high-throughput path: track T frames with ceil(T/chunk)
+        device dispatches. frames (T,H,W,3) uint8; tlwh (T,D,4);
+        conf/valid (T,D). Outputs appended to self.results."""
+        t_total = frames.shape[0]
+        if not hasattr(self, "_chunked") or self._chunk_size != chunk:
+            self._chunked = make_chunked_tracker(
+                self.cfg, self.crop_embed_raw, self.cfg.crop_hw, chunk)
+            self._chunk_size = chunk
+        pending = []  # (start_frame, device outputs) for deferred fetch
+        t0 = time.perf_counter()
+        for s in range(0, t_total, chunk):
+            e = min(s + chunk, t_total)
+            pad = chunk - (e - s)
+            def padded(x, fill=0):
+                if pad == 0:
+                    return x[s:e]
+                reps = np.repeat(x[e - 1:e], pad, axis=0)
+                return np.concatenate([x[s:e], reps])
+            fr = jnp.asarray(padded(frames))
+            bx = jnp.asarray(padded(tlwh))
+            cf = jnp.asarray(padded(conf))
+            vl = jnp.asarray(padded(valid)) if pad == 0 else jnp.asarray(
+                np.concatenate([valid[s:e],
+                                np.zeros((pad,) + valid.shape[1:], bool)]))
+            self.state, outs = self._chunked(
+                self.params, self.batch_stats, self.state, fr, bx, cf, vl)
+            pending.append((s, e, outs))
+            # drain the previous chunk while this one computes
+            if len(pending) > 1:
+                self._drain(pending.pop(0), first_frame)
+        for p in pending:
+            self._drain(p, first_frame)
+        dt = time.perf_counter() - t0
+        self.timing["total"] += dt
+        self.frames += t_total
+        return t_total / dt
+
+    def _drain(self, item, first_frame):
+        s, e, outs = item
+        outs = jax.device_get(outs)
+        for i in range(e - s):
+            self.results.append({
+                "frame": first_frame + s + i,
+                "tlwh": outs["tlwh"][i],
+                "ids": outs["ids"][i],
+                "valid": outs["valid"][i],
+            })
 
     def write(self, path: str) -> int:
         return write_mot_txt(path, self.results)

@@ -1,0 +1,66 @@
+"""Chunked tracker: same IDs as the per-frame path on a scripted sequence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from reid_tpu.config import TrackerConfig
+from reid_tpu.tracking.pipeline import TrackingPipeline
+
+
+def _embed_fn(params, batch_stats, crops):
+    # deterministic toy embedding: mean color split into 8 bins
+    m = jnp.mean(crops, axis=(1, 2))                 # (B, 3)
+    return jnp.concatenate([m, m * 2.0, m * 0.5], axis=1)  # (B, 9)
+
+
+def _sequence(t=20, d=8):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (t, 120, 160, 3)).astype(np.uint8)
+    # paint two distinct colored targets that move
+    tlwh = np.zeros((t, d, 4), np.float32)
+    conf = np.zeros((t, d), np.float32)
+    valid = np.zeros((t, d), bool)
+    for i in range(t):
+        boxes = [(10 + 3 * i, 20, 20, 40), (120 - 3 * i, 60, 20, 40)]
+        for j, (x, y, w, h) in enumerate(boxes):
+            frames[i, int(y):int(y + h), int(x):int(x + w)] = \
+                (250, 10, 10) if j == 0 else (10, 10, 250)
+            tlwh[i, j] = (x, y, w, h)
+            conf[i, j] = 0.9
+            valid[i, j] = True
+    return frames, tlwh, conf, valid
+
+
+def test_chunked_matches_streaming():
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        crop_hw=(32, 16))
+    frames, tlwh, conf, valid = _sequence()
+
+    pipe_a = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    for i in range(frames.shape[0]):
+        pipe_a.step(i + 1, frames[i], tlwh[i], conf[i], valid[i])
+
+    pipe_b = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    fps = pipe_b.run_sequence(frames, tlwh, conf, valid, chunk=8)
+    assert fps > 0
+    assert len(pipe_b.results) == frames.shape[0]
+
+    def track_ids(results):
+        return [sorted(np.asarray(r["ids"])[np.asarray(r["valid"])].tolist())
+                for r in results]
+
+    ids_a = track_ids(pipe_a.results)
+    ids_b = track_ids(pipe_b.results)
+    assert ids_a == ids_b
+    assert ids_a[-1] == [1, 2]
+
+
+def test_chunked_with_ragged_tail():
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        crop_hw=(32, 16))
+    frames, tlwh, conf, valid = _sequence(t=11)
+    pipe = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    pipe.run_sequence(frames, tlwh, conf, valid, chunk=4)
+    assert len(pipe.results) == 11
+    assert pipe.results[-1]["frame"] == 11
