@@ -84,11 +84,35 @@ def hungarian_host(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return rows, cols
 
 
+def greedy_assign(cost: jnp.ndarray, n_iters: int) -> jnp.ndarray:
+    """Greedy min-cost matching: repeatedly take the globally cheapest
+    unassigned (row, col) pair. O(n_iters) fori iterations, each one argmin —
+    ~10x fewer device steps than the auction. Near-optimal when costs are
+    well separated (typical for gated tracking); selectable via
+    TrackerConfig.assignment="greedy"."""
+    t, d = cost.shape
+
+    def body(_, carry):
+        c, r2c = carry
+        flat = jnp.argmin(c)
+        i, j = flat // d, flat % d
+        ok = c[i, j] < INF_COST
+        r2c = jnp.where(ok, r2c.at[i].set(j.astype(jnp.int32)), r2c)
+        c = jnp.where(ok, c.at[i, :].set(INF_COST).at[:, j].set(INF_COST), c)
+        return c, r2c
+
+    _, r2c = jax.lax.fori_loop(
+        0, n_iters, body, (cost.astype(jnp.float32),
+                           -jnp.ones((t,), jnp.int32)))
+    return r2c
+
+
 def gated_matches(
     cost: jnp.ndarray,            # (T, D) with INF_COST at invalid pairs
     row_valid: jnp.ndarray,       # (T,) bool
     col_valid: jnp.ndarray,       # (D,) bool
     gate: float,
+    method: str = "auction",
 ) -> jnp.ndarray:
     """Assignment + gate rejection with static shapes.
 
@@ -98,14 +122,17 @@ def gated_matches(
     post-filter behavior).
     """
     t, d = cost.shape
-    n = max(t, d)
-    sq = jnp.full((n, n), INF_COST, jnp.float32)
     masked = jnp.where(
         row_valid[:, None] & col_valid[None, :], cost, INF_COST
     )
-    sq = sq.at[:t, :d].set(masked)
-    r2c = auction_assign(sq)
-    r2c = r2c[:t]
+    if method == "greedy":
+        r2c = greedy_assign(masked, n_iters=min(t, d))
+    else:
+        n = max(t, d)
+        sq = jnp.full((n, n), INF_COST, jnp.float32)
+        sq = sq.at[:t, :d].set(masked)
+        r2c = auction_assign(sq)
+        r2c = r2c[:t]
     matched_cost = jnp.take_along_axis(
         masked, jnp.clip(r2c, 0, d - 1)[:, None], axis=1
     )[:, 0]

@@ -28,30 +28,37 @@ from .mot import write_mot_txt
 
 def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
                          ch: int, cw: int) -> jnp.ndarray:
-    """Gather-based batched crop+resize: (H, W, 3) x (D, 4 tlwh) ->
-    (D, ch, cw, 3). Four clipped gathers + lerp — compiles to a tiny HLO
-    (vmapped `jax.image.scale_and_translate` builds per-crop weight matmuls
-    whose XLA program is enormous; measured 10+ min compiles at 512 crops)."""
+    """MXU matmul-based batched crop+resize: (H, W, 3) x (D, 4 tlwh) ->
+    (D, ch, cw, 3).
+
+    Bilinear sampling as two einsum contractions with per-crop hat-weight
+    matrices Wy (D, ch, H) and Wx (D, cw, W):
+        out[d] = Wy[d] @ img @ Wx[d]^T    (per channel)
+    TPU rationale: the obvious alternatives lose badly — vmapped
+    `jax.image.scale_and_translate` compiles >10 min at 512 crops, and a
+    4-point gather kernel runs ~100x slower than the MXU (measured 3.0 s vs
+    this formulation for 1024 crops; TPU gathers are scalar-ish). The hat
+    matrices are built from broadcasted iota (no gathers anywhere).
+    """
     h, w = img.shape[0], img.shape[1]
-    ys = (jnp.arange(ch, dtype=jnp.float32) + 0.5) / ch      # (ch,)
-    xs = (jnp.arange(cw, dtype=jnp.float32) + 0.5) / cw      # (cw,)
-    sy = boxes[:, 1:2] + ys[None, :] * boxes[:, 3:4] - 0.5   # (D, ch)
-    sx = boxes[:, 0:1] + xs[None, :] * boxes[:, 2:3] - 0.5   # (D, cw)
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    wy = (sy - y0)[:, :, None, None]                         # (D, ch, 1, 1)
-    wx = (sx - x0)[:, None, :, None]                         # (D, 1, cw, 1)
-    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
 
-    def g(yi, xi):  # (D, ch) x (D, cw) -> (D, ch, cw, 3)
-        return img[yi[:, :, None], xi[:, None, :]]
+    def hat_weights(starts, sizes, out_dim, in_dim):
+        # rows index output pixels, cols input pixels; weight = bilinear hat
+        o = (jnp.arange(out_dim, dtype=jnp.float32) + 0.5) / out_dim
+        src = starts[:, None] + o[None, :] * sizes[:, None] - 0.5  # (D, out)
+        src = jnp.clip(src, 0.0, in_dim - 1.0)
+        cols = jnp.arange(in_dim, dtype=jnp.float32)               # (in,)
+        wmat = jnp.maximum(0.0, 1.0 - jnp.abs(src[:, :, None] - cols))
+        return wmat                                                # (D,out,in)
 
-    top = g(y0c, x0c) * (1 - wx) + g(y0c, x1c) * wx
-    bot = g(y1c, x0c) * (1 - wx) + g(y1c, x1c) * wx
-    return top * (1 - wy) + bot * wy
+    wy = hat_weights(boxes[:, 1], boxes[:, 3], ch, h)   # (D, ch, H)
+    wx = hat_weights(boxes[:, 0], boxes[:, 2], cw, w)   # (D, cw, W)
+    imgf = img.astype(jnp.float32)
+    rows = jnp.einsum("dih,hwc->diwc", wy, imgf,
+                      preferred_element_type=jnp.float32)  # (D, ch, W, 3)
+    out = jnp.einsum("diwc,djw->dijc", rows, wx,
+                     preferred_element_type=jnp.float32)   # (D, ch, cw, 3)
+    return out
 
 
 def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],

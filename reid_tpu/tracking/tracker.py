@@ -127,7 +127,8 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
     lam = cfg.mc_lambda
     cost1 = lam * app + (1.0 - lam) * (maha / CHI2_GATE_4DOF) * cfg.max_dist
     cost1 = jnp.where(maha > CHI2_GATE_4DOF, INF_COST, cost1)
-    match1 = gated_matches(cost1, confirmed, det_valid, cfg.max_dist)  # (T,)
+    match1 = gated_matches(cost1, confirmed, det_valid, cfg.max_dist,
+                           method=cfg.assignment)  # (T,)
 
     det_taken1 = jnp.zeros(det_valid.shape, bool).at[
         jnp.clip(match1, 0, det_valid.shape[0] - 1)
@@ -142,7 +143,7 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
     track_tlwh = _xyah_to_tlwh(mean[:, :4])
     cost2 = 1.0 - diou_matrix(track_tlwh, tlwh)
     match2 = gated_matches(cost2, iou_track, det_valid & ~det_taken1,
-                           cfg.max_iou_distance)
+                           cfg.max_iou_distance, method=cfg.assignment)
 
     match = jnp.where(match1 >= 0, match1, match2)               # (T,)
     matched = match >= 0

@@ -217,3 +217,35 @@ def test_mot_roundtrip(tmp_path):
     }])
     assert rows == 1
     assert out.read_text().startswith("1,7,1.00,2.00,3.00,4.00")
+
+
+def test_greedy_assignment_quality(rng):
+    """Greedy matches the optimal assignment on well-separated tracking-like
+    costs and respects gates."""
+    from reid_tpu.tracking.assignment import greedy_assign
+
+    # well-separated: diagonal dominant
+    cost = np.full((6, 6), 5.0, np.float32)
+    np.fill_diagonal(cost, rng.uniform(0, 0.2, 6))
+    r2c = np.asarray(greedy_assign(jnp.asarray(cost), 6))
+    assert (r2c == np.arange(6)).all()
+
+    out = np.asarray(gated_matches(
+        jnp.asarray([[0.1, 5.0], [5.0, 0.9]]), jnp.asarray([True, True]),
+        jnp.asarray([True, True]), gate=0.5, method="greedy"))
+    assert out[0] == 0 and out[1] == -1
+
+
+def test_tracker_greedy_assignment_stable_ids():
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        assignment="greedy")
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    feats = np.zeros((2, 8), np.float32)
+    feats[0, 0] = 1.0
+    feats[1, 1] = 1.0
+    for t in range(6):
+        boxes = [(100 + 5 * t, 100, 20, 40), (300 - 5 * t, 200, 20, 40)]
+        state, out = tracker.update(state, *_frame(boxes, feats=feats))
+    ids = sorted(np.asarray(out["ids"])[np.asarray(out["valid"])].tolist())
+    assert ids == [1, 2]
