@@ -1,0 +1,134 @@
+"""Numerical parity: torch ResNet18-IBN-a trunk vs SERes18IBN(attention=none)
+with converted weights — validates both the converter and the trunk
+semantics (stem without ReLU is the reference's executed graph, so the torch
+side mirrors that too)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from reid_tpu.models.seres18 import SERes18IBN  # noqa: E402
+from reid_tpu.utils.torch_convert import convert_resnet18_ibn  # noqa: E402
+
+
+class TorchIBN(tnn.Module):
+    """IBN-a split norm (torch mirror of ref SERes18_IBN.py:67-93)."""
+
+    def __init__(self, planes):
+        super().__init__()
+        half = planes // 2
+        self.IN = tnn.InstanceNorm2d(half, affine=True)
+        self.BN = tnn.BatchNorm2d(planes - half)
+
+    def forward(self, x):
+        half = x.shape[1] // 2
+        return torch.cat([self.IN(x[:, :half].contiguous()),
+                          self.BN(x[:, half:].contiguous())], 1)
+
+
+class TorchBasicBlock(tnn.Module):
+    """torchvision-style BasicBlock (no torchvision in this image)."""
+
+    def __init__(self, inplanes, planes, stride=1, ibn=False,
+                 downsample=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = TorchIBN(planes) if ibn else tnn.BatchNorm2d(planes)
+        self.relu = tnn.ReLU()
+        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.downsample = None
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inplanes, planes, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes))
+
+    def forward(self, x):
+        identity = x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(y + identity)
+
+
+class TorchResNet18IBN(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        self.layer1 = tnn.Sequential(
+            TorchBasicBlock(64, 64, ibn=True),
+            TorchBasicBlock(64, 64, ibn=True))
+        self.layer2 = tnn.Sequential(
+            TorchBasicBlock(64, 128, 2, ibn=True, downsample=True),
+            TorchBasicBlock(128, 128, ibn=True))
+        self.layer3 = tnn.Sequential(
+            TorchBasicBlock(128, 256, 2, ibn=True, downsample=True),
+            TorchBasicBlock(256, 256, ibn=True))
+        # stage-4 stride 1 (ref :223)
+        self.layer4 = tnn.Sequential(
+            TorchBasicBlock(256, 512, 1, ibn=False, downsample=True),
+            TorchBasicBlock(512, 512, ibn=False))
+
+
+def _make_torch_ibn_resnet18():
+    return TorchResNet18IBN()
+
+
+def _torch_trunk_forward(m, x):
+    """Reference's executed stem (NO relu after bn0, ref :253) + blocks."""
+    x = m.conv1(x)
+    x = m.bn1(x)
+    x = m.maxpool(x)
+    for layer in (m.layer1, m.layer2, m.layer3, m.layer4):
+        x = layer(x)
+    return x
+
+
+def test_trunk_parity_torch_vs_flax(rng):
+    tm = _make_torch_ibn_resnet18().eval()
+    # randomize BN running stats so the test is not trivially 0/1
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.8, 1.2)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    fm = SERes18IBN(num_classes=5, attention="none")
+    x = rng.normal(size=(2, 64, 32, 3)).astype(np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    variables = {"params": jax.device_get(variables["params"]),
+                 "batch_stats": jax.device_get(variables["batch_stats"])}
+    converted = convert_resnet18_ibn(sd, variables)
+
+    with torch.no_grad():
+        want = _torch_trunk_forward(
+            tm, torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    want = np.transpose(want.numpy(), (0, 2, 3, 1))       # NCHW -> NHWC
+
+    # flax trunk output = feature map before pooling; grab it by running the
+    # model and inverting the GeM pool? Instead compare pooled avg features:
+    # run full flax, but the trunk output is what feeds GeM — use avg pooling
+    # on both sides for the comparison.
+    feat_flax, _ = fm.apply(converted, jnp.asarray(x), train=False)
+    # torch side: GeM with the *initialized* p is applied in flax; emulate by
+    # comparing spatial means instead: recompute flax trunk via intermediates
+    _, intermediates = fm.apply(
+        converted, jnp.asarray(x), train=False,
+        capture_intermediates=lambda mdl, name: name == "__call__",
+    )
+    # simplest robust check: block42 output == torch trunk output
+    inter = intermediates["intermediates"]
+    flax_trunk = np.asarray(inter["block42"]["__call__"][0])
+    np.testing.assert_allclose(flax_trunk, want, rtol=2e-2, atol=2e-2)
+    # and the discrepancy is small in relative terms
+    rel = np.abs(flax_trunk - want).mean() / (np.abs(want).mean() + 1e-9)
+    assert rel < 1e-3, rel
