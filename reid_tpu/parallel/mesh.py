@@ -29,6 +29,36 @@ def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(n_data: int, n_model: int,
+                 axes=("data", "model")) -> Mesh:
+    """2D mesh for combined data x tensor parallelism."""
+    devs = np.asarray(jax.devices()[: n_data * n_model]).reshape(
+        n_data, n_model)
+    return Mesh(devs, axes)
+
+
+def shard_params_tp(mesh: Mesh, params, min_size: int = 1 << 16,
+                    model_axis: str = "model"):
+    """Tensor-parallel parameter placement: shard the *output* dim of large
+    2D kernels (classifiers / wide Dense layers) over the model axis, shard
+    large embedding-style tables (centers, DCC luts, cam_bias) over their
+    first dim, replicate everything else. GSPMD inserts the collectives —
+    the classifier matmul runs column-parallel with an all-gather of logits
+    only where consumed (CE/DCC reduce locally first)."""
+    size = mesh.shape[model_axis]
+
+    def place(x):
+        spec = P()
+        if hasattr(x, "ndim") and x.size >= min_size:
+            if x.ndim == 2 and x.shape[1] % size == 0:
+                spec = P(None, model_axis)
+            elif x.ndim == 2 and x.shape[0] % size == 0:
+                spec = P(model_axis, None)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params)
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a pytree of arrays batch-sharded over the mesh axis."""
     def put(x):
