@@ -21,7 +21,8 @@ Record = Tuple[str, int, int, int]
 
 class ReIDDataset:
     def __init__(self, records: Sequence[Record], num_pids: int,
-                 height: int = 256, width: int = 128, cache: bool = True):
+                 height: int = 256, width: int = 128, cache: bool = True,
+                 hdf5_cache: str = ""):
         self.records: List[Record] = list(records)
         self.num_train_pids = num_pids
         self.height = height
@@ -31,6 +32,17 @@ class ReIDDataset:
         self.cross_domain = False
         self._cache_enabled = cache
         self._cache: dict = {}
+        # optional disk-backed cache (role of ref train_utils.py:26-42 h5py
+        # image cache); entries are written lazily on first decode.
+        self._h5 = None
+        if hdf5_cache:
+            import h5py
+            self._h5 = h5py.File(hdf5_cache, "a")
+            self._h5ds = self._h5.require_dataset(
+                "images", shape=(len(self.records), height, width, 3),
+                dtype="uint8")
+            self._h5done = self._h5.require_dataset(
+                "done", shape=(len(self.records),), dtype="uint8")
 
     def __len__(self):
         return len(self.records)
@@ -70,6 +82,8 @@ class ReIDDataset:
         """uint8 (H, W, 3), resized once and cached."""
         if index in self._cache:
             return self._cache[index]
+        if self._h5 is not None and self._h5done[index]:
+            return self._h5ds[index]
         from PIL import Image
 
         path = self.records[index][0]
@@ -78,6 +92,9 @@ class ReIDDataset:
                 (self.width, self.height), Image.BILINEAR
             )
             arr = np.asarray(im, np.uint8)
+        if self._h5 is not None:
+            self._h5ds[index] = arr
+            self._h5done[index] = 1
         if self._cache_enabled:
             self._cache[index] = arr
         return arr

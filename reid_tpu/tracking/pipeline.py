@@ -143,10 +143,21 @@ class TrackingPipeline:
         self.results: List[dict] = []
         self.timing = {"crop_embed": 0.0, "associate": 0.0, "total": 0.0}
         self.frames = 0
+        # camera-motion compensation (botsort; ref track_yolov5.py:229-231)
+        from .methods import uses_gmc
+        self._gmc = uses_gmc(cfg)
+        self._prev_frame = None
 
     def step(self, frame_idx: int, frame: np.ndarray,
              tlwh: np.ndarray, conf: np.ndarray, valid: np.ndarray):
         t0 = time.perf_counter()
+        if self._gmc:
+            from .gmc import estimate_affine
+            from .tracker import apply_gmc
+            if self._prev_frame is not None:
+                affine = estimate_affine(self._prev_frame, frame)
+                self.state = apply_gmc(self.state, jnp.asarray(affine))
+            self._prev_frame = frame
         feats = self.crop_embed(self.params, self.batch_stats,
                                 jnp.asarray(frame), jnp.asarray(tlwh))
         t1 = time.perf_counter()

@@ -105,3 +105,17 @@ def test_inference_batch_flip(rng):
     a = np.asarray(inference_batch(imgs, flipped=False))
     b = np.asarray(inference_batch(imgs, flipped=True))
     np.testing.assert_allclose(a[:, :, ::-1, :], b, atol=1e-6)
+
+
+def test_hdf5_cache(market_tree, tmp_path):
+    pytest.importorskip("h5py")
+    from reid_tpu.data.datasets import Market1501
+    ds_raw = Market1501(market_tree, verbose=False)
+    h5p = str(tmp_path / "cache.h5")
+    ds = ReIDDataset(ds_raw.train, ds_raw.num_train_pids, height=64,
+                     width=32, cache=False, hdf5_cache=h5p)
+    a = ds.load_image(0)          # decode + write-through
+    b = ds.load_image(0)          # served from hdf5
+    np.testing.assert_array_equal(a, b)
+    import os
+    assert os.path.exists(h5p)

@@ -64,3 +64,18 @@ def test_chunked_with_ragged_tail():
     pipe.run_sequence(frames, tlwh, conf, valid, chunk=4)
     assert len(pipe.results) == 11
     assert pipe.results[-1]["frame"] == 11
+
+
+def test_pipeline_botsort_gmc_path():
+    """botsort preset exercises the GMC estimate+warp per frame."""
+    from reid_tpu.tracking.methods import method_config
+
+    cfg = method_config("botsort", max_tracks=8, max_dets=8, n_init=2,
+                        crop_hw=(32, 16))
+    frames, tlwh, conf, valid = _sequence(t=6)
+    pipe = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    for i in range(6):
+        pipe.step(i + 1, frames[i], tlwh[i], conf[i], valid[i])
+    last = pipe.results[-1]
+    ids = sorted(np.asarray(last["ids"])[np.asarray(last["valid"])].tolist())
+    assert ids == [1, 2]
