@@ -129,8 +129,18 @@ def gated_matches(
         r2c = greedy_assign(masked, n_iters=min(t, d))
     else:
         n = max(t, d)
-        sq = jnp.full((n, n), INF_COST, jnp.float32)
-        sq = sq.at[:t, :d].set(masked)
+        # Unique tie-breakers on forbidden/pad cells: identical INF costs
+        # cause eps-increment price wars in the auction (measured 100x
+        # slowdown); distinct sub-gate offsets give every row a unique
+        # cheapest pad column so the pad region settles in O(1) rounds.
+        # Valid (< INF) cells are untouched -> matching unchanged.
+        ii = jnp.arange(n)[:, None]
+        jj = jnp.arange(n)[None, :]
+        tiebreak = ((ii - jj) % n).astype(jnp.float32) / n
+        sq = INF_COST + tiebreak
+        sq = sq.at[:t, :d].set(
+            jnp.where(masked >= INF_COST, sq[:t, :d] + masked - INF_COST,
+                      masked))
         r2c = auction_assign(sq)
         r2c = r2c[:t]
     matched_cost = jnp.take_along_axis(

@@ -45,7 +45,12 @@ def make_optimizers(cfg: Config, steps_per_epoch: int):
         cfg.train.warmup_epochs, cfg.train.hold_epochs, cfg.train.eta_min,
     )
     if cfg.train.num_instances > 0:
-        opt = optax.adamw(schedule, weight_decay=cfg.train.weight_decay)
+        # torch.optim.Adam(weight_decay=...) is L2-into-grad, NOT decoupled
+        # AdamW — match the reference exactly (image_reid_train.py:53).
+        opt = optax.chain(
+            optax.add_decayed_weights(cfg.train.weight_decay),
+            optax.adam(schedule),
+        )
     else:
         opt = optax.chain(
             optax.add_decayed_weights(cfg.train.weight_decay),
