@@ -113,12 +113,12 @@ def train_cnn(
 
 
 def _continual_weights(flags: np.ndarray) -> jnp.ndarray:
-    """Per-sample weights: normalized so a batch sums to 1, pseudo samples
-    weighted like the reference's weighted losses (flags pseudo=1/real=0,
-    ref data_prepare.py:89; weighting in HybridLossWeighted)."""
+    """Per-sample weights, exactly the reference semantics: flag 0.0 for
+    real (source) samples, 1.0 for pseudo (data_prepare.py:88-89), divided
+    by batch size in the driver (image_reid_train.py:452). Real samples thus
+    contribute zero weighted loss but still shape the distance matrices."""
     w = np.asarray(flags, np.float32)
-    w = 0.5 + 0.5 * w                 # real 0.5, pseudo 1.0
-    return jnp.asarray(w / w.sum())
+    return jnp.asarray(w / len(w))
 
 
 def extract_embeddings(state: ReIDTrainState, dataset: ReIDDataset,
@@ -256,8 +256,13 @@ def train_continual(
     source_dataset.add_pseudo(target_records, num_new)
     source_dataset.set_cross_domain()
     state, cfg = expand_classifier(state, cfg, num_new, centroids)
+    # continual operating point (ref :415-424): Adam lr 7e-5, CE temperature
+    # tao=2, label-smooth CE enabled (HybridLossWeighted adds it).
     cfg = cfg.replace(
-        loss=cfg.loss.__class__(**{**cfg.loss.__dict__, "use_ce": True}),
-        train=cfg.train.__class__(**{**cfg.train.__dict__, "epochs": epochs}),
+        loss=cfg.loss.__class__(**{**cfg.loss.__dict__, "use_ce": True,
+                                   "tao": 2.0}),
+        train=cfg.train.__class__(**{**cfg.train.__dict__, "epochs": epochs,
+                                     "lr": 7e-5, "warmup_epochs": 1,
+                                     "hold_epochs": 20}),
     )
     return train_cnn(cfg, source_dataset, state=state)
