@@ -110,6 +110,11 @@ class TrackerConfig:
     assignment: str = "greedy"         # "greedy" (default; ~100x faster on
                                        # TPU, near-identical matches under
                                        # gating) | "auction" (eps-optimal)
+    byte: bool = False                 # BYTE low-score second association:
+                                       # dets in [byte_low, min_confidence)
+                                       # can re-match lost tracks by IoU but
+                                       # never initiate new tracks
+    byte_low: float = 0.1
     crop_hw: Tuple[int, int] = (256, 128)  # ReID crop (h, w); ref TRACKING_EVAL.md:5
 
 

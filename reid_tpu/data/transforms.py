@@ -138,3 +138,25 @@ def inference_batch(images: jnp.ndarray, flipped: bool = False) -> jnp.ndarray:
     if flipped:
         x = x[:, :, ::-1, :]
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "flipped"))
+def strong_inference_batch(key: jax.Array, images: jnp.ndarray,
+                           pad: int = 10, flipped: bool = False) -> jnp.ndarray:
+    """'strong_inference' test-time crop jitter (ref data_transforms.py:60-76):
+    Pad(10) + RandomCrop back to size, then normalize (+optional flip)."""
+    b, h, w, c = images.shape
+    x = images.astype(jnp.float32) / 255.0
+    if flipped:
+        x = x[:, :, ::-1, :]
+    keys = jax.random.split(key, b)
+
+    def per_sample(img, k):
+        k1, k2 = jax.random.split(k)
+        padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)))
+        oy = jax.random.randint(k1, (), 0, 2 * pad + 1)
+        ox = jax.random.randint(k2, (), 0, 2 * pad + 1)
+        return jax.lax.dynamic_slice(padded, (oy, ox, 0), (h, w, c))
+
+    x = jax.vmap(per_sample)(x, keys)
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)

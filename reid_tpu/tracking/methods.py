@@ -30,8 +30,9 @@ def method_config(method: str, **overrides) -> TrackerConfig:
     elif method == "botsort":
         base = dict(method="botsort", max_iou_distance=0.8)
     elif method == "bytetrack":
-        base = dict(method="bytetrack", min_confidence=0.25,
-                    mc_lambda=0.0, max_dist=2.0)  # appearance off, motion gate
+        # appearance off; BYTE low-score second association on
+        base = dict(method="bytetrack", mc_lambda=0.0, max_dist=2.0,
+                    byte=True, byte_low=0.1)
     elif method == "ocsort":
         base = dict(method="ocsort", mc_lambda=0.0, max_dist=2.0,
                     ema_alpha=0.5, max_age=20)

@@ -110,7 +110,13 @@ def apply_gmc(state: TrackerState, affine: jnp.ndarray) -> TrackerState:
 def _update_impl(cfg: TrackerConfig, state: TrackerState,
                  tlwh, conf, feats, det_valid):
     t_slots = state.mean.shape[0]
-    det_valid = det_valid & (conf >= cfg.min_confidence)
+    raw_valid = det_valid
+    # BYTE (ByteTrack): low-score dets participate in a second IoU-only
+    # association to keep tracks alive, but never initiate tracks.
+    low_valid = raw_valid & (conf >= cfg.byte_low) & \
+        (conf < cfg.min_confidence) if cfg.byte else \
+        jnp.zeros_like(raw_valid)
+    det_valid = raw_valid & (conf >= cfg.min_confidence)
     z_xyah = _tlwh_to_xyah(tlwh)
 
     active = state.status > FREE
@@ -146,6 +152,18 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
                            cfg.max_iou_distance, method=cfg.assignment)
 
     match = jnp.where(match1 >= 0, match1, match2)               # (T,)
+
+    if cfg.byte:
+        # stage 3 (BYTE): still-unmatched confirmed tracks x low-score dets,
+        # plain IoU gate; matched low dets update tracks only.
+        det_taken12 = jnp.zeros(det_valid.shape, bool).at[
+            jnp.clip(match, 0, det_valid.shape[0] - 1)
+        ].max(match >= 0)
+        byte_track = confirmed & (match < 0)
+        match3 = gated_matches(cost2, byte_track, low_valid & ~det_taken12,
+                               cfg.max_iou_distance, method=cfg.assignment)
+        match = jnp.where(match >= 0, match, match3)
+
     matched = match >= 0
     det_idx = jnp.clip(match, 0, tlwh.shape[0] - 1)
 

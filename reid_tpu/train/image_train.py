@@ -122,13 +122,21 @@ def _continual_weights(flags: np.ndarray) -> jnp.ndarray:
 
 
 def extract_embeddings(state: ReIDTrainState, dataset: ReIDDataset,
-                       batch_size: int, tta_flip: bool = True):
+                       batch_size: int, tta_flip: bool = True,
+                       strong: bool = False, seed: int = 0):
     """TTA dual-pass embeddings for a whole dataset (ref
-    inference_efficient, image_reid_inference.py:78-135)."""
+    inference_efficient, image_reid_inference.py:78-135). `strong` enables
+    the crop-jitter test-time transform (ref 'strong_inference')."""
     feats = []
+    key = jax.random.PRNGKey(seed)
     for batch in make_eval_loader(dataset, batch_size):
         images = jnp.asarray(batch["images"])
-        images = inference_batch(images)
+        if strong:
+            from ..data.transforms import strong_inference_batch
+            key, k = jax.random.split(key)
+            images = strong_inference_batch(k, images)
+        else:
+            images = inference_batch(images)
         if tta_flip:
             emb = embed_with_flip(state.apply_fn, state.params,
                                   state.batch_stats, images)

@@ -119,3 +119,12 @@ def test_hdf5_cache(market_tree, tmp_path):
     np.testing.assert_array_equal(a, b)
     import os
     assert os.path.exists(h5p)
+
+
+def test_strong_inference_batch(rng):
+    from reid_tpu.data.transforms import strong_inference_batch
+    imgs = jnp.asarray(rng.integers(0, 255, (3, 32, 16, 3)), jnp.uint8)
+    a = strong_inference_batch(jax.random.PRNGKey(0), imgs)
+    b = strong_inference_batch(jax.random.PRNGKey(1), imgs)
+    assert a.shape == (3, 32, 16, 3)
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # jittered crops

@@ -249,3 +249,33 @@ def test_tracker_greedy_assignment_stable_ids():
         state, out = tracker.update(state, *_frame(boxes, feats=feats))
     ids = sorted(np.asarray(out["ids"])[np.asarray(out["valid"])].tolist())
     assert ids == [1, 2]
+
+
+def test_byte_low_score_keeps_track_alive():
+    """BYTE: a confirmed track matched only by a low-score det stays updated
+    (tsu == 0) but low-score dets never initiate new tracks."""
+    cfg = TrackerConfig(max_tracks=8, max_dets=8, n_init=2,
+                        min_confidence=0.5, byte=True, byte_low=0.1)
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    feats = np.zeros((1, 8), np.float32)
+    feats[0, 0] = 1.0
+    for t in range(3):  # confirm with high-score dets
+        state, out = tracker.update(
+            state, *_frame([(100 + 2 * t, 100, 20, 40)], feats=feats))
+    assert int(np.asarray(out["valid"]).sum()) == 1
+
+    # frame with ONLY a low-score det at the predicted location + a far
+    # low-score det that must not create a track
+    tlwh = jnp.asarray([[106.0, 100, 20, 40], [300, 300, 20, 40]]
+                       + [[0, 0, 0, 0]] * 6)
+    conf = jnp.asarray([0.3, 0.3] + [0.0] * 6)
+    f = jnp.zeros((8, 8)).at[0, 0].set(1.0)
+    valid = jnp.asarray([True, True] + [False] * 6)
+    state, out = tracker.update(state, tlwh, conf, f, valid)
+    # track kept alive by the low det (output this frame)
+    assert int(np.asarray(out["valid"]).sum()) == 1
+    assert int(np.asarray(state.time_since_update)[
+        np.asarray(state.status) == 2][0]) == 0
+    # no new track from the far low-score det
+    assert int((np.asarray(state.status) > 0).sum()) == 1
