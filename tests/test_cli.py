@@ -45,3 +45,47 @@ def test_track_cli_end_to_end(tmp_path):
     lines = out.read_text().strip().splitlines()
     ids = {int(l.split(",")[1]) for l in lines}
     assert len(ids) == 2  # two stable tracks
+
+
+def test_train_cli_end_to_end(tmp_path, monkeypatch):
+    """Full CLI path: synthetic Market tree -> parse -> train 1 epoch."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for sub, specs in {
+        "bounding_box_train": [(7, c, 1, i) for i, c in
+                               enumerate([1, 2, 3, 4])] +
+                              [(9, c, 1, 10 + i) for i, c in
+                               enumerate([1, 2, 3, 4])],
+        "query": [(7, 5, 1, 100)],
+        "bounding_box_test": [(7, 1, 1, 200), (9, 2, 1, 201)],
+    }.items():
+        d = tmp_path / sub
+        d.mkdir()
+        for pid, cam, seq, idx in specs:
+            arr = rng.integers(0, 255, (64, 32, 3), np.uint8)
+            Image.fromarray(arr).save(
+                d / f"{pid:04d}_c{cam}s{seq}_{idx:06d}_00.jpg")
+
+    monkeypatch.chdir(tmp_path)
+    from reid_tpu.cli import train_main
+    state = train_main(["--root", str(tmp_path), "--bs", "4",
+                        "--instance", "2", "--epochs", "1"])
+    assert int(state.step) > 0
+
+
+def test_annotate_writer(tmp_path, rng):
+    from reid_tpu.tracking.annotate import AnnotatedVideoWriter, draw_tracks
+
+    frame = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+    tlwh = np.asarray([[10.0, 10, 20, 30], [0, 0, 0, 0]])
+    ids = np.asarray([3, 0])
+    valid = np.asarray([True, False])
+    out = draw_tracks(frame, tlwh, ids, valid)
+    assert out.shape == frame.shape
+    assert not np.array_equal(out, frame)
+
+    w = AnnotatedVideoWriter(str(tmp_path / "vis"))
+    w.write(frame, tlwh, ids, valid)
+    w.close()
+    assert (tmp_path / "vis" / "000001.jpg").exists()
