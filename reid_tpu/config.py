@@ -115,6 +115,9 @@ class TrackerConfig:
                                        # can re-match lost tracks by IoU but
                                        # never initiate new tracks
     byte_low: float = 0.1
+    ocm_weight: float = 0.0            # OCSort observation-centric momentum:
+                                       # penalize dets whose direction from
+                                       # the track disagrees with its velocity
     crop_hw: Tuple[int, int] = (256, 128)  # ReID crop (h, w); ref TRACKING_EVAL.md:5
 
 

@@ -35,9 +35,10 @@ def method_config(method: str, **overrides) -> TrackerConfig:
                     byte=True, byte_low=0.1)
     elif method == "ocsort":
         base = dict(method="ocsort", mc_lambda=0.0, max_dist=2.0,
-                    ema_alpha=0.5, max_age=20)
+                    ema_alpha=0.5, max_age=20, ocm_weight=0.2)
     elif method == "deepocsort":
-        base = dict(method="deepocsort", ema_alpha=0.5, max_age=20)
+        base = dict(method="deepocsort", ema_alpha=0.5, max_age=20,
+                    ocm_weight=0.2)
     else:
         raise KeyError(f"unknown tracking method '{method}'")
     base.update(overrides)

@@ -132,6 +132,19 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
         mean, cov, z_xyah)                                       # (T, D)
     lam = cfg.mc_lambda
     cost1 = lam * app + (1.0 - lam) * (maha / CHI2_GATE_4DOF) * cfg.max_dist
+    if cfg.ocm_weight > 0:
+        # OCSort observation-centric momentum: angle consistency between the
+        # track's velocity and the track->detection direction.
+        vel = mean[:, 4:6]                                   # (T, 2)
+        diff = z_xyah[None, :, :2] - mean[:, None, :2]       # (T, D, 2)
+        vn = vel / jnp.maximum(
+            jnp.linalg.norm(vel, axis=-1, keepdims=True), 1e-6)
+        dn = diff / jnp.maximum(
+            jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-6)
+        cos = jnp.sum(vn[:, None, :] * dn, axis=-1)          # (T, D)
+        moving = jnp.linalg.norm(vel, axis=-1) > 1.0         # (T,)
+        cost1 = cost1 + cfg.ocm_weight * jnp.where(
+            moving[:, None], 1.0 - cos, 0.0)
     cost1 = jnp.where(maha > CHI2_GATE_4DOF, INF_COST, cost1)
     match1 = gated_matches(cost1, confirmed, det_valid, cfg.max_dist,
                            method=cfg.assignment)  # (T,)

@@ -279,3 +279,32 @@ def test_byte_low_score_keeps_track_alive():
         np.asarray(state.status) == 2][0]) == 0
     # no new track from the far low-score det
     assert int((np.asarray(state.status) > 0).sum()) == 1
+
+
+def test_ocm_velocity_consistency_prefers_forward_det():
+    """With OCM on, a moving track prefers the detection ahead of it over an
+    equally-near one behind it."""
+    cfg = TrackerConfig(max_tracks=8, max_dets=8, n_init=2, mc_lambda=0.0,
+                        max_dist=2.0, ocm_weight=0.5)
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    # build up rightward velocity (5 px/frame keeps tentative IoU matches
+    # inside the DIoU gate)
+    for t in range(8):
+        state, out = tracker.update(
+            state, *_frame([(100 + 5 * t, 100, 20, 40)]))
+    tid = np.asarray(out["ids"])[np.asarray(out["valid"])][0]
+    # two candidates, ahead vs behind the one-step-ahead prediction, placed
+    # inside the chi2 gate (position std ~ h/20 = 2 px)
+    slot = int(np.flatnonzero(np.asarray(state.track_id) == tid)[0])
+    mean = np.asarray(state.mean)[slot]
+    pred_cx = float(mean[0] + mean[4])       # next-step predicted center x
+    ahead = (pred_cx + 3 - 10, 100, 20, 40)  # tlwh (center -> top-left)
+    behind = (pred_cx - 3 - 10, 100, 20, 40)
+    state, out = tracker.update(state, *_frame([ahead, behind]))
+    valid = np.asarray(out["valid"])
+    ids = np.asarray(out["ids"])
+    boxes = np.asarray(out["tlwh"])
+    kept = boxes[valid & (ids == tid)]
+    assert len(kept) == 1
+    assert kept[0][0] + 10 > pred_cx  # matched the forward detection
