@@ -92,8 +92,13 @@ def train_cnn(
                 k, batch["images"], pad=cfg.data.pad,
                 flip_prob=cfg.data.flip_prob, erase_prob=cfg.data.random_erasing_prob,
             )
+            # SIE view index = cam * num_seqs + seq for side-info models
+            # (ref train_cnn_sie, image_reid_train.py:115-187).
+            cams = batch["cams"]
+            if cfg.model.num_seqs > 1:
+                cams = cams * cfg.model.num_seqs + batch["seqs"]
             dev_batch = {"images": images, "labels": batch["labels"],
-                         "cams": batch["cams"]}
+                         "cams": cams}
             if use_xbm:
                 dev_batch["xbm_active"] = jnp.asarray(
                     epoch > cfg.loss.xbm_start_epoch)

@@ -38,9 +38,13 @@ def make_train_step(cfg: Config, use_xbm_gate: bool = False):
         variables = {"params": params, "batch_stats": state.batch_stats}
         dropout_rng = jax.random.fold_in(
             jax.random.PRNGKey(cfg.train.seed), state.step)
+        # cams feed the camera-bias (cam_factor, SERes18) or the SIE view
+        # embedding (ViT/Swin side-info models).
+        use_cam = cfg.model.cam_factor > 0 or cfg.model.backbone in (
+            "vit", "swin_v1", "swin_v2")
         (feature, logits), mutated = state.apply_fn(
             variables, batch["images"],
-            cam=batch.get("cams") if cfg.model.cam_factor > 0 else None,
+            cam=batch.get("cams") if use_cam else None,
             train=True, mutable=["batch_stats"],
             rngs={"dropout": dropout_rng},
         )

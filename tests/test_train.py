@@ -77,3 +77,25 @@ def test_warmup_cosine_shape():
     # decays toward eta_min at the end
     assert float(sched(59 * 10)) < 1e-4
     assert float(sched(60 * 10 - 1)) >= 7e-7 - 1e-12
+
+
+def test_vit_sie_train_step(rng):
+    """Side-info (SIE) train path: ViT with cam x seq view indices."""
+    from reid_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+    cfg = Config(
+        model=ModelConfig(backbone="vit", num_classes=4, num_cams=4,
+                          num_seqs=2, feat_dim=384),
+        loss=LossConfig(),
+        train=TrainConfig(batch_size=8, num_instances=2, epochs=2,
+                          warmup_epochs=1, hold_epochs=1),
+    )
+    from reid_tpu.models import build_model
+    model = build_model("vit", num_classes=4, num_cams=4, num_seqs=2)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg,
+                               steps_per_epoch=2, input_shape=(2, 64, 32, 3))
+    step = make_train_step(cfg)
+    batch = _synthetic_batch(rng, hw=(64, 32))
+    batch["cams"] = jnp.asarray((np.arange(8) % 4) * 2 + np.arange(8) % 2,
+                                jnp.int32)  # view indices < 8
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
