@@ -89,7 +89,7 @@ def train_main(argv=None):
                                     train_continual)
 
     raw = build_dataset(args.dataset, args.root)
-    cfg = _base_cfg(args).replace()
+    cfg = _base_cfg(args)
     cfg = cfg.replace(model=cfg.model.__class__(
         **{**cfg.model.__dict__, "num_classes": raw.num_train_pids}))
     dataset = ReIDDataset(raw.train, raw.num_train_pids,

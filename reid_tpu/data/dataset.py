@@ -99,38 +99,35 @@ class ReIDDataset:
             self._cache[index] = arr
         return arr
 
-    def _fill_cache_native(self, indices: Sequence[int]) -> bool:
+    def _decode_batch_native(self, indices: Sequence[int]) -> dict:
         """Batch-decode uncached JPEGs with the C++ loader (pthread pool +
-        libjpeg, reid_tpu.native); returns False when unavailable."""
+        libjpeg, reid_tpu.native); returns {index: array} (empty when the
+        native path is unavailable — callers fall back to PIL)."""
         missing = [i for i in indices if i not in self._cache]
         if not missing:
-            return True
+            return {}
         paths = [self.records[i][0] for i in missing]
         if not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
-            return False
+            return {}
         try:
             from .. import native
             if not native.available():
-                return False
+                return {}
             batch = native.decode_batch(paths, self.height, self.width)
         except Exception:
-            return False
-        for i, arr in zip(missing, batch):
-            if self._cache_enabled:
-                self._cache[i] = arr
-        if not self._cache_enabled:
-            self._tmp = dict(zip(missing, batch))
-        return True
+            return {}
+        decoded = dict(zip(missing, batch))
+        if self._cache_enabled:
+            self._cache.update(decoded)
+        return decoded
 
     def gather(self, indices: Sequence[int]) -> dict:
         """Assemble a host batch dict for the given indices."""
-        self._tmp = {}
-        self._fill_cache_native(indices)
-        tmp = getattr(self, "_tmp", {})
+        decoded = self._decode_batch_native(indices)
         images = np.stack([
-            tmp[i] if i in tmp else self.load_image(i) for i in indices
+            decoded[i] if i in decoded else self.load_image(i)
+            for i in indices
         ])
-        self._tmp = {}
         recs = [self.records[i] for i in indices]
         return {
             "images": images,

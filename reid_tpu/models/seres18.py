@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (
-    BNNeck, GeM, IBN, SEBlock, conv1x1, conv3x3, kaiming_init, make_norm2d,
+    GeM, IBN, SEBlock, conv1x1, conv3x3, kaiming_init, make_norm2d,
     max_pool_same, trunc_normal_init,
 )
 

@@ -89,3 +89,39 @@ def test_annotate_writer(tmp_path, rng):
     w.write(frame, tlwh, ids, valid)
     w.close()
     assert (tmp_path / "vis" / "000001.jpg").exists()
+
+
+def test_inference_cli_with_checkpoint(tmp_path, monkeypatch):
+    """CLI checkpoint roundtrip: train 1 epoch, save, restore via
+    inference_main, evaluate."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    colors = {7: (220, 40, 40), 9: (40, 220, 40)}
+    for sub, specs in {
+        "bounding_box_train": [(p, c, 1, 10 * i + c) for p in colors
+                               for i, c in enumerate([1, 2, 3, 4])],
+        "query": [(7, 5, 1, 100), (9, 6, 1, 101)],
+        "bounding_box_test": [(7, 1, 1, 200), (9, 2, 1, 201),
+                              (7, 3, 1, 202)],
+    }.items():
+        d = tmp_path / sub
+        d.mkdir()
+        for pid, cam, seq, idx in specs:
+            base = np.zeros((64, 32, 3), int) + colors[pid]
+            arr = np.clip(base + rng.integers(-30, 30, base.shape),
+                          0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                d / f"{pid:04d}_c{cam}s{seq}_{idx:06d}_00.jpg")
+
+    monkeypatch.chdir(tmp_path)
+    from reid_tpu.cli import inference_main, train_main
+    train_main(["--root", str(tmp_path), "--bs", "4", "--instance", "2",
+                "--epochs", "1"])
+    ckpt = str(tmp_path / "checkpoint" / "cnn_net_checkpoint_market1501")
+    import os
+    assert os.path.exists(ckpt)
+    cmc, mAP = inference_main(["--root", str(tmp_path), "--ckpt", ckpt,
+                               "--no-rerank"])
+    assert 0.0 <= mAP <= 1.0
+    assert cmc.shape[0] == 50
