@@ -23,8 +23,8 @@ def get_attributes(mat_path: str, split: str = "test") -> Tuple[np.ndarray, np.n
 
     mat = loadmat(mat_path)
     root = mat["market_attribute"][0][0]
-    idx = {"train": 1, "test": 0}[split]
-    table = root[idx][0][0]
+    table = root[split][0][0] if root.dtype.names else root[
+        {"train": 1, "test": 0}[split]][0][0]
     names = table.dtype.names
     ids = np.asarray([int(v) for v in table["image_index"][0]])
     cols = []

@@ -80,3 +80,94 @@ def compute_jaccard_distance(
     tm = 1.0 - 0.5 * pairwise_l1(v, v)
     jaccard = 1.0 - tm / (2.0 - tm)
     return jnp.maximum(jaccard, 0.0)
+
+
+def compute_jaccard_distance_sharded(
+    mesh, features: jnp.ndarray, k1: int = 20, k2: int = 6,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Row-sharded k-reciprocal Jaccard over a device mesh.
+
+    The gallery distance matrix is the memory-heavy axis of this workload
+    (SURVEY.md §5.7 — the conceptual relative of sequence parallelism): every
+    (N, N) intermediate here lives as (N/p, N) row blocks on each device, so
+    gallery size scales with the mesh. One all-gather reconstructs the V
+    encoding for the L1 min-sum (V is the only tensor every row pair needs).
+
+    N must be divisible by the mesh size (pad upstream). Numerics identical
+    to `compute_jaccard_distance`.
+    """
+    import numpy as np
+
+    from .distance import pairwise_l1
+
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _sm(f, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sme
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _sme(f, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_rep=False)
+
+    from jax.sharding import PartitionSpec as P
+
+    n = features.shape[0]
+    p = mesh.devices.size
+    assert n % p == 0, f"N={n} must divide mesh size {p}"
+    k_half = int(round(k1 / 2))
+
+    feats = features.astype(jnp.float32)
+    feats = feats / jnp.maximum(
+        jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+    # global initial ranking (top-k is cheap; reuse the single-device path)
+    _, initial_rank = topk_neighbors(feats, feats, k=k1 + 1)
+
+    f_full = _topk_mask(initial_rank[:, : k1 + 1], n)
+    f_half = _topk_mask(initial_rank[:, : k_half + 1], n)
+    r_full = f_full & f_full.T
+    r_half = f_half & f_half.T
+    sizes_h = jnp.sum(r_half.astype(jnp.float32), axis=1)
+    a_qe = _topk_mask(initial_rank[:, :k2], n).astype(jnp.float32) \
+        if k2 != 1 else None
+
+    def rows(block_rf, r_half_full, feats_blk, feats_all, sizes_h_all):
+        # block_rf: (N/p, N) rows of R; r_half_full replicated (N, N)
+        rf = block_rf.astype(jnp.float32)
+        overlap = jnp.dot(rf, r_half_full.T.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        cond = block_rf & (overlap > (2.0 / 3.0) * sizes_h_all[None, :])
+        expansion = block_rf | (
+            jnp.dot(cond.astype(jnp.float32),
+                    r_half_full.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) > 0)
+        sim = jnp.dot(feats_blk, feats_all.T,
+                      preferred_element_type=jnp.float32)
+        logits = jnp.where(expansion, 2.0 * sim, -jnp.inf)
+        return jax.nn.softmax(logits, axis=1)          # (N/p, N) rows of V
+
+    v_rows_fn = shard_map(
+        rows, mesh,
+        in_specs=(P(axis, None), P(), P(axis, None), P(), P()),
+        out_specs=P(axis, None),
+    )
+    v = v_rows_fn(r_full, r_half, feats, feats, sizes_h)
+
+    if k2 != 1:
+        # query expansion needs arbitrary rows of V -> all-gather inside
+        def qe(a_rows, v_all):
+            return jnp.dot(a_rows, v_all,
+                           preferred_element_type=jnp.float32) / k2
+        v = shard_map(qe, mesh, in_specs=(P(axis, None), P()),
+                      out_specs=P(axis, None))(a_qe, v)
+
+    def jac_rows(v_rows, v_all):
+        tm = 1.0 - 0.5 * pairwise_l1(v_rows, v_all, use_pallas=False)
+        return jnp.maximum(1.0 - tm / (2.0 - tm), 0.0)
+
+    return shard_map(jac_rows, mesh, in_specs=(P(axis, None), P()),
+                     out_specs=P(axis, None))(v, v)

@@ -3,6 +3,7 @@ reference protocol (reid/evaluate.py:55-105), on tiny synthetic galleries."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from reid_tpu.eval import evaluate_all
 
@@ -68,3 +69,29 @@ def test_perfect_retrieval():
     cmc, mean_ap = evaluate_all(qf, ql, qc, gf, gl, gc, verbose=False)
     assert cmc[0] == 1.0
     assert abs(mean_ap - 1.0) < 1e-6
+
+
+def test_market_attributes_roundtrip(tmp_path):
+    """Synthetic market_attribute.mat -> parser -> distance matrix."""
+    scipy_io = pytest.importorskip("scipy.io")
+
+    table = {
+        "image_index": np.asarray([["0007", "0009", "0012"]], dtype=object),
+        "age": np.asarray([[1.0, 2.0, 4.0]]),
+        "backpack": np.asarray([[1.0, 2.0, 1.0]]),
+        "gender": np.asarray([[2.0, 1.0, 2.0]]),
+    }
+    scipy_io.savemat(str(tmp_path / "market_attribute.mat"),
+                     {"market_attribute": {"test": table, "train": table}})
+
+    from reid_tpu.eval.attributes import get_attribute_dist, get_attributes
+    ids, attrs = get_attributes(str(tmp_path / "market_attribute.mat"))
+    assert list(ids) == [7, 9, 12]
+    # age one-hot (4) + 2 binary attrs
+    assert attrs.shape == (3, 6)
+    assert attrs[:, :4].sum() == 3  # one-hot rows
+
+    d = get_attribute_dist(ids, attrs, np.asarray([7, 9, 12, 999]))
+    assert d.shape == (4, 4)
+    assert d[0, 0] == 0.0
+    assert d.max() <= 1.0 + 1e-6

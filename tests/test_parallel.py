@@ -75,3 +75,19 @@ def test_dp_matches_single_device(rng):
     batch_s = shard_batch(mesh, batch_np)
     _, m_shard = step(state_r, batch_s)
     assert abs(float(m_single["loss"]) - float(m_shard["loss"])) < 1e-3
+
+
+def test_sharded_jaccard_matches_dense(rng):
+    from reid_tpu.ops import compute_jaccard_distance
+    from reid_tpu.ops.rerank import compute_jaccard_distance_sharded
+
+    mesh = make_mesh(8)
+    centers = rng.normal(size=(4, 12)) * 3
+    feats = np.concatenate(
+        [c + 0.3 * rng.normal(size=(16, 12)) for c in centers]
+    ).astype(np.float32)  # N = 64, divisible by 8
+    want = np.asarray(compute_jaccard_distance(jnp.asarray(feats), k1=8,
+                                               k2=3))
+    got = np.asarray(compute_jaccard_distance_sharded(
+        mesh, jnp.asarray(feats), k1=8, k2=3))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
