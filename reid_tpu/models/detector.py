@@ -89,6 +89,46 @@ def decode_detections(
     return tlwh, scores
 
 
+def make_centernet_targets(tlwh: jnp.ndarray, valid: jnp.ndarray,
+                           image_hw: Tuple[int, int], stride: int = 4,
+                           sigma_frac: float = 6.0):
+    """Build (gt_heat, gt_wh, gt_offset, gt_mask) from padded boxes.
+
+    tlwh (B, D, 4), valid (B, D) -> targets on the stride-4 grid with
+    Gaussian heatmap splats (radius ~ box size / sigma_frac). jit-friendly:
+    splats are rendered as a max over per-box Gaussian fields.
+    """
+    b, d = valid.shape
+    h, w = image_hw[0] // stride, image_hw[1] // stride
+    cx = (tlwh[..., 0] + 0.5 * tlwh[..., 2]) / stride      # (B, D)
+    cy = (tlwh[..., 1] + 0.5 * tlwh[..., 3]) / stride
+    ix = jnp.clip(jnp.floor(cx), 0, w - 1)
+    iy = jnp.clip(jnp.floor(cy), 0, h - 1)
+    sigma = jnp.maximum(
+        (tlwh[..., 2] + tlwh[..., 3]) / (2 * stride * sigma_frac), 1.0)
+
+    ys = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    g = jnp.exp(-((ys - iy[..., None, None]) ** 2
+                  + (xs - ix[..., None, None]) ** 2)
+                / (2.0 * sigma[..., None, None] ** 2))     # (B, D, h, w)
+    g = jnp.where(valid[..., None, None], g, 0.0)
+    gt_heat = jnp.max(g, axis=1)                           # (B, h, w)
+
+    gt_wh = jnp.zeros((b, h, w, 2), jnp.float32)
+    gt_off = jnp.zeros((b, h, w, 2), jnp.float32)
+    gt_mask = jnp.zeros((b, h, w), bool)
+    bi = jnp.repeat(jnp.arange(b), d)
+    yi = iy.reshape(-1).astype(jnp.int32)
+    xi = jnp.where(valid.reshape(-1), ix.reshape(-1).astype(jnp.int32), w)
+    wh = jnp.stack([tlwh[..., 2], tlwh[..., 3]], -1).reshape(-1, 2) / stride
+    off = jnp.stack([cx - ix, cy - iy], -1).reshape(-1, 2)
+    gt_wh = gt_wh.at[bi, yi, xi].set(wh, mode="drop")
+    gt_off = gt_off.at[bi, yi, xi].set(off, mode="drop")
+    gt_mask = gt_mask.at[bi, yi, xi].set(valid.reshape(-1), mode="drop")
+    return gt_heat, gt_wh, gt_off, gt_mask
+
+
 def detection_loss(outputs, gt_heat, gt_wh, gt_offset, gt_mask,
                    alpha: float = 2.0, beta: float = 4.0,
                    wh_weight: float = 0.1, off_weight: float = 1.0):

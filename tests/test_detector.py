@@ -81,3 +81,22 @@ def test_detector_overfits_one_target():
     cx = float(tlwh[0, 0, 0] + tlwh[0, 0, 2] / 2)
     cy = float(tlwh[0, 0, 1] + tlwh[0, 0, 3] / 2)
     assert abs(cx - 32) < 8 and abs(cy - 32) < 8
+
+
+def test_make_centernet_targets():
+    from reid_tpu.models.detector import make_centernet_targets
+
+    tlwh = jnp.asarray([[[28.0, 24, 8, 16], [0, 0, 0, 0]]])   # one valid box
+    valid = jnp.asarray([[True, False]])
+    heat, wh, off, mask = make_centernet_targets(tlwh, valid, (64, 64))
+    assert heat.shape == (1, 16, 16)
+    # peak at the box center cell: cx=32/4=8, cy=32/4=8
+    assert float(heat[0, 8, 8]) == 1.0
+    assert bool(mask[0, 8, 8])
+    np.testing.assert_allclose(np.asarray(wh[0, 8, 8]), [2.0, 4.0])
+    assert int(np.asarray(mask).sum()) == 1  # invalid box wrote nothing
+
+    # targets + loss + decode close the loop
+    from reid_tpu.models.detector import decode_detections
+    big = np.asarray(heat)
+    assert big.max() == 1.0
