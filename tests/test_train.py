@@ -99,3 +99,27 @@ def test_vit_sie_train_step(rng):
                                 jnp.int32)  # view indices < 8
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_renorm_model_train_step(rng):
+    """BatchRenorm path (--renorm): step counter advances in batch_stats."""
+    from reid_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+    cfg = Config(
+        model=ModelConfig(num_classes=4, renorm=True),
+        loss=LossConfig(),
+        train=TrainConfig(batch_size=8, num_instances=2, epochs=2,
+                          warmup_epochs=1, hold_epochs=1),
+    )
+    from reid_tpu.models import build_model
+    model = build_model("seres18", num_classes=4, renorm=True)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg,
+                               steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+    step = make_train_step(cfg)
+    batch = _synthetic_batch(rng)
+    state, metrics = step(state, batch)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # renorm step counters advanced
+    leaves = jax.tree_util.tree_leaves_with_path(state.batch_stats)
+    steps = [v for kp, v in leaves if "steps" in jax.tree_util.keystr(kp)]
+    assert steps and all(int(s) == 2 for s in steps)
