@@ -94,6 +94,130 @@ def convert_resnet18_ibn(
     return out
 
 
+def convert_osnet(state_dict: Mapping[str, Any], variables: Dict) -> Dict:
+    """Merge a torchreid-layout OSNet state_dict into reid_tpu OSNet
+    variables (the reference's gdown-pretrained osnet_x1_0 trunk,
+    ref osnet.py:319-382).
+
+    torchreid naming -> flax naming:
+      conv1.conv/bn                  -> conv1.conv/bn (stem)
+      convN.M.* (OSBlock)            -> convN_M.* with streams
+        conv1 (1x1)                  -> conv1.{conv,bn}
+        conv2a / conv2b.K ...        -> conv2_{t}_{k}.{conv1,conv2,bn}
+        gate.fc1/fc2                 -> gate.fc1/fc2 (conv1x1 -> dense)
+        conv3                        -> conv3.{conv,bn}
+        downsample                   -> down.{conv,bn}
+      convN+1 transition (Conv1x1)   -> transN.{conv,bn}
+      conv5                          -> conv5.{conv,bn}
+      fc.0 / fc.1 (linear+bn)        -> fc / fc_bn
+    Classifier keeps its fresh init (class count differs).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def bn(prefix_t, flax_path):
+        if prefix_t + ".weight" not in sd:
+            return
+        _set(params, flax_path + ("scale",), sd[prefix_t + ".weight"])
+        _set(params, flax_path + ("bias",), sd[prefix_t + ".bias"])
+        _set(stats, flax_path + ("mean",), sd[prefix_t + ".running_mean"])
+        _set(stats, flax_path + ("var",), sd[prefix_t + ".running_var"])
+
+    def cbr(prefix_t, flax_name):
+        if prefix_t + ".conv.weight" in sd:
+            _set(params, (flax_name, "conv", "kernel"),
+                 _conv(sd[prefix_t + ".conv.weight"]))
+            bn(prefix_t + ".bn", (flax_name, "bn"))
+
+    def light(prefix_t, flax_name):
+        _set(params, (flax_name, "conv1", "kernel"),
+             _conv(sd[prefix_t + ".conv1.weight"]))
+        _set(params, (flax_name, "conv2", "kernel"),
+             _conv(sd[prefix_t + ".conv2.weight"]))
+        bn(prefix_t + ".bn", (flax_name, "bn"))
+
+    def osblock(prefix_t, flax_name):
+        # flax submodule path is nested: params[flax_name]["conv1"]...
+        if flax_name not in params:
+            return
+        blk = params[flax_name]
+        blk_stats = stats.get(flax_name, {})
+
+        def bset(tree, path, val):
+            _set(tree, path, val)
+
+        # conv1
+        bset(blk, ("conv1", "conv", "kernel"),
+             _conv(sd[prefix_t + ".conv1.conv.weight"]))
+        _osnet_bn(sd, prefix_t + ".conv1.bn", blk, blk_stats, ("conv1", "bn"))
+        # streams: torchreid conv2a (1 conv), conv2b (2), conv2c (3), conv2d (4)
+        for t, letter in enumerate("abcd", start=1):
+            for k in range(t):
+                tp = f"{prefix_t}.conv2{letter}" + (f".{k}" if t > 1 else "")
+                fname = (f"conv2_{t}_{k}",)
+                bset(blk, fname + ("conv1", "kernel"),
+                     _conv(sd[tp + ".conv1.weight"]))
+                bset(blk, fname + ("conv2", "kernel"),
+                     _conv(sd[tp + ".conv2.weight"]))
+                _osnet_bn(sd, tp + ".bn", blk, blk_stats, fname + ("bn",))
+        # gate: torchreid fc1/fc2 are 1x1 convs -> dense kernels
+        for fc in ("fc1", "fc2"):
+            wkey = f"{prefix_t}.gate.{fc}.weight"
+            if wkey in sd:
+                wt = sd[wkey]
+                if wt.ndim == 4:
+                    wt = wt[:, :, 0, 0]
+                bset(blk, ("gate", fc, "kernel"), wt.T)
+                bkey = f"{prefix_t}.gate.{fc}.bias"
+                if bkey in sd:
+                    bset(blk, ("gate", fc, "bias"), sd[bkey])
+        # conv3 + downsample
+        bset(blk, ("conv3", "conv", "kernel"),
+             _conv(sd[prefix_t + ".conv3.conv.weight"]))
+        _osnet_bn(sd, prefix_t + ".conv3.bn", blk, blk_stats, ("conv3", "bn"))
+        if prefix_t + ".downsample.conv.weight" in sd:
+            bset(blk, ("down", "conv", "kernel"),
+                 _conv(sd[prefix_t + ".downsample.conv.weight"]))
+            _osnet_bn(sd, prefix_t + ".downsample.bn", blk, blk_stats,
+                      ("down", "bn"))
+
+    # stem
+    cbr("conv1", "conv1")
+    # stages: torch conv2.{0,1} blocks + conv2.2 transition? torchreid puts the
+    # transition as convN[2] (Conv1x1) + avgpool inside the sequential; our
+    # names: conv{s}_{i} blocks, trans{s} transitions.
+    for s, tname in ((2, "trans2"), (3, "trans3")):
+        for i in range(2):
+            osblock(f"conv{s}.{i}", f"conv{s}_{i}")
+        cbr(f"conv{s}.2", tname)
+    for i in range(2):
+        osblock(f"conv4.{i}", f"conv4_{i}")
+    cbr("conv5", "conv5")
+    # fc head: torchreid fc = Sequential(Linear, BN1d, ReLU)
+    if "fc.0.weight" in sd:
+        _set(params, ("fc", "kernel"), sd["fc.0.weight"].T)
+        _set(params, ("fc", "bias"), sd["fc.0.bias"])
+        bn("fc.1", ("fc_bn",))
+
+    out = dict(variables)
+    out["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+    out["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    return out
+
+
+def _osnet_bn(sd, prefix_t, blk_params, blk_stats, path):
+    if prefix_t + ".weight" not in sd:
+        return
+    _set(blk_params, path + ("scale",), sd[prefix_t + ".weight"])
+    _set(blk_params, path + ("bias",), sd[prefix_t + ".bias"])
+    _set(blk_stats, path + ("mean",), sd[prefix_t + ".running_mean"])
+    _set(blk_stats, path + ("var",), sd[prefix_t + ".running_var"])
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file to numpy (no CUDA needed)."""
     import torch
