@@ -248,6 +248,9 @@ def track_main(argv=None):
     p.add_argument("--save_txt", default="out.txt")
     p.add_argument("--conf_thres", type=float, default=0.5)
     p.add_argument("--max_dets", type=int, default=64)
+    p.add_argument("--gt", default="",
+                   help="MOT gt.txt: score the run with native CLEAR/IDF1 "
+                        "metrics (TrackEval role) after tracking")
     args = p.parse_args(argv)
 
     import glob
@@ -306,4 +309,10 @@ def track_main(argv=None):
     rows = pipe.write(args.save_txt)
     print(f"{rows} rows -> {args.save_txt}; "
           f"timing: {pipe.timing_summary()}")
+    if args.gt:
+        from .tracking.metrics import evaluate_clear_identity, load_mot_frames
+        m = evaluate_clear_identity(load_mot_frames(args.gt),
+                                    load_mot_frames(args.save_txt))
+        print("  ".join(f"{k}: {v:.2f}" for k, v in m.items()))
+        return m
     return rows

@@ -125,3 +125,25 @@ def test_inference_cli_with_checkpoint(tmp_path, monkeypatch):
                                "--no-rerank"])
     assert 0.0 <= mAP <= 1.0
     assert cmc.shape[0] == 50
+
+
+def test_track_cli_with_native_scoring(tmp_path):
+    """track --gt scores the run with the native CLEAR/IDF1 metrics."""
+    det = tmp_path / "det.txt"
+    gt = tmp_path / "gt.txt"
+    det_rows, gt_rows = [], []
+    for f in range(1, 10):
+        for j, (x, y) in enumerate([(100 + 4 * f, 100), (300 - 4 * f, 200)]):
+            det_rows.append(f"{f},-1,{x},{y},30,60,0.9")
+            gt_rows.append(f"{f},{j + 1},{x},{y},30,60,1,1,1")
+    det.write_text("\n".join(det_rows) + "\n")
+    gt.write_text("\n".join(gt_rows) + "\n")
+    out = tmp_path / "out.txt"
+
+    from reid_tpu.cli import track_main
+    m = track_main(["--detections", str(det), "--save_txt", str(out),
+                    "--num_classes", "16", "--max_dets", "8",
+                    "--tracking_method", "bytetrack", "--gt", str(gt)])
+    assert m["IDSW"] == 0
+    assert m["MOTA"] > 70.0  # first frames unconfirmed -> a few FNs
+    assert m["IDF1"] > 80.0
