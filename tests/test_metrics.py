@@ -104,3 +104,44 @@ def test_tracker_scores_on_synthetic_sequence():
     assert m["IDSW"] == 0
     assert m["MOTA"] > 95.0
     assert m["IDF1"] > 95.0
+
+
+def test_appearance_prevents_id_swap_on_crossing_targets():
+    """Two targets cross paths: the appearance-based tracker (strongsort)
+    keeps identities through the crossing; scored with the native metrics."""
+    import jax.numpy as jnp
+
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.tracking import Tracker
+
+    def run(cfg):
+        tracker = Tracker(cfg, feat_dim=8)
+        state = tracker.init_state()
+        feats = np.eye(2, 8, dtype=np.float32)
+        gt, hyp = {}, {}
+        for t in range(24):
+            # targets swap x positions over time, same y -> full crossing
+            xa = 50 + 10 * t
+            xb = 280 - 10 * t
+            boxes = [(xa, 100, 20, 40), (xb, 100, 20, 40)]
+            gt[t + 1] = (np.asarray(boxes, float), np.arange(2))
+            tlwh = np.zeros((8, 4), np.float32)
+            conf = np.zeros(8, np.float32)
+            valid = np.zeros(8, bool)
+            f = np.zeros((8, 8), np.float32)
+            for j, b in enumerate(boxes):
+                tlwh[j] = b
+                conf[j] = 0.9
+                valid[j] = True
+                f[j] = feats[j]
+            state, out = tracker.update(state, jnp.asarray(tlwh),
+                                        jnp.asarray(conf), jnp.asarray(f),
+                                        jnp.asarray(valid))
+            v = np.asarray(out["valid"])
+            hyp[t + 1] = (np.asarray(out["tlwh"])[v],
+                          np.asarray(out["ids"])[v])
+        return evaluate_clear_identity(gt, hyp)
+
+    strong = run(TrackerConfig(max_tracks=16, max_dets=8, n_init=1))
+    assert strong["IDSW"] == 0, strong
+    assert strong["IDF1"] > 95.0, strong
