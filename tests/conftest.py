@@ -13,12 +13,21 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import tempfile
+
 import jax
 
 # The image's sitecustomize imports jax before conftest runs, so the env var
 # alone is too late — update the config before any backend initializes.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: the suite is compile-bound (every train-step
+# variant costs ~30 s to build on CPU); repeat runs hit the disk cache.
+_cache_dir = os.path.join(tempfile.gettempdir(), "reid_tpu_xla_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 import pytest
