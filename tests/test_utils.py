@@ -68,3 +68,47 @@ def test_stage_timer():
     ms = t.per_frame_ms()
     assert "a" in ms and ms["a"] >= 0
     assert "1 frames" in t.summary()
+
+
+def test_export_tracking_chunk_artifact(tmp_path):
+    """The ENTIRE fused tracking step (crop+embed+associate over a chunk)
+    serializes to StableHLO and reloads — the serve-path deployment artifact
+    (static shapes throughout make the tracker ideally exportable)."""
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.tracking.pipeline import make_chunked_tracker
+    from reid_tpu.tracking.tracker import init_tracker_state
+
+    cfg = TrackerConfig(max_tracks=8, max_dets=4, n_init=1, crop_hw=(16, 8))
+
+    def embed_fn(params, batch_stats, crops):
+        m = jnp.mean(crops, axis=(1, 2))
+        return jnp.concatenate([m, m * 2.0], axis=1)  # (B, 6)
+
+    run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk=4)
+    state = init_tracker_state(8, 6)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (4, 32, 48, 3)), jnp.uint8)
+    tlwh = jnp.asarray(rng.uniform(0, 20, (4, 4, 4)), jnp.float32)
+    conf = jnp.full((4, 4), 0.9)
+    valid = jnp.ones((4, 4), bool)
+
+    # jax.export can't serialize custom pytree nodes (NamedTuple state), so
+    # the serving boundary is flat arrays — the standard export pattern.
+    from reid_tpu.tracking.tracker import TrackerState
+
+    def serving(*flat):
+        st = TrackerState(*flat[:8])
+        frames_, tlwh_, conf_, valid_ = flat[8:]
+        new_st, out = run_chunk({}, {}, st, frames_, tlwh_, conf_, valid_)
+        return tuple(new_st) + (out["tlwh"], out["ids"], out["valid"])
+
+    flat_args = tuple(state) + (frames, tlwh, conf, valid)
+    p = str(tmp_path / "tracker_chunk.stablehlo")
+    export_serving_fn(serving, flat_args, p, dynamic_batch=False)
+    loaded = load_serving_fn(p)
+    want = serving(*flat_args)
+    got = loaded(*flat_args)
+    np.testing.assert_allclose(np.asarray(got[8]), np.asarray(want[8]),
+                               rtol=1e-5, atol=1e-5)      # out tlwh
+    np.testing.assert_array_equal(np.asarray(got[6]),
+                                  np.asarray(want[6]))    # track ids
