@@ -28,11 +28,6 @@ from flax import linen as nn
 xavier = nn.initializers.xavier_uniform()
 
 
-def _sn(layer, train: bool):
-    """Spectral-norm wrapper; power-iteration u vectors live in batch_stats."""
-    return nn.SpectralNorm(layer)
-
-
 class SelfAttention(nn.Module):
     """SAGAN self-attention (ref discriminator_gan.py:28-60)."""
     dtype: Any = jnp.float32
