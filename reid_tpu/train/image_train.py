@@ -88,17 +88,15 @@ def train_cnn(
         t0 = time.time()
         for i, batch in enumerate(loader):
             aug_key, k = jax.random.split(aug_key)
-            images = augment_batch(
-                k, batch["images"], pad=cfg.data.pad,
-                flip_prob=cfg.data.flip_prob, erase_prob=cfg.data.random_erasing_prob,
-            )
             # SIE view index = cam * num_seqs + seq for side-info models
             # (ref train_cnn_sie, image_reid_train.py:115-187).
             cams = batch["cams"]
             if cfg.model.num_seqs > 1:
                 cams = cams * cfg.model.num_seqs + batch["seqs"]
-            dev_batch = {"images": images, "labels": batch["labels"],
-                         "cams": cams}
+            # uint8 images + key -> augmentation runs fused inside the train
+            # step's program (single dispatch per step).
+            dev_batch = {"images": batch["images"], "aug_key": k,
+                         "labels": batch["labels"], "cams": cams}
             if use_xbm:
                 dev_batch["xbm_active"] = jnp.asarray(
                     epoch > cfg.loss.xbm_start_epoch)

@@ -38,6 +38,21 @@ def make_train_step(cfg: Config, use_xbm_gate: bool = False):
         variables = {"params": params, "batch_stats": state.batch_stats}
         dropout_rng = jax.random.fold_in(
             jax.random.PRNGKey(cfg.train.seed), state.step)
+        images = batch["images"]
+        if images.dtype == jnp.uint8:
+            # fused path: raw uint8 crops + per-step key -> the full
+            # augmentation chain runs inside the same program as the forward
+            # (one dispatch per step instead of two).
+            from ..data.transforms import augment_batch
+            aug_key = batch.get(
+                "aug_key",
+                jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed + 1),
+                                   state.step))
+            images = augment_batch(
+                aug_key, images, pad=cfg.data.pad,
+                flip_prob=cfg.data.flip_prob,
+                erase_prob=cfg.data.random_erasing_prob)
+            batch = {**batch, "images": images}
         # cams feed the camera-bias (cam_factor, SERes18) or the SIE view
         # embedding (ViT/Swin side-info models).
         use_cam = cfg.model.cam_factor > 0 or cfg.model.backbone in (
