@@ -123,3 +123,29 @@ def test_renorm_model_train_step(rng):
     leaves = jax.tree_util.tree_leaves_with_path(state.batch_stats)
     steps = [v for kp, v in leaves if "steps" in jax.tree_util.keystr(kp)]
     assert steps and all(int(s) == 2 for s in steps)
+
+
+def test_plr_dual_branch_train_step(rng):
+    """PLR-OSNet dedicated dual-branch loop (ref train_plr_osnet)."""
+    from reid_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+    from reid_tpu.train.plr_train import (create_plr_train_state,
+                                          make_plr_train_step)
+    cfg = Config(
+        model=ModelConfig(backbone="plr_osnet", num_classes=4,
+                          dtype="float32"),
+        loss=LossConfig(),
+        train=TrainConfig(batch_size=8, num_instances=2, epochs=2,
+                          warmup_epochs=1, hold_epochs=1),
+    )
+    model, state, tx, ctx = create_plr_train_state(
+        jax.random.PRNGKey(0), cfg, steps_per_epoch=2,
+        input_shape=(2, 64, 32, 3))
+    step = make_plr_train_step(cfg, model, tx, ctx)
+    batch = _synthetic_batch(rng, hw=(64, 32))
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["loss1"])) and np.isfinite(float(m["loss2"]))
+    assert int(state.step) == 1
+    # both center tables updated independently
+    assert state.loss1.centers.shape == (4, 2048)
+    assert state.loss2.centers.shape == (4, 512)
