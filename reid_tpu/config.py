@@ -88,7 +88,7 @@ class RetrievalConfig:
     lambda_value: float = 0.3
     dbscan_eps: float = 0.55           # ref image_reid_inference.py:290
     dbscan_min_samples: int = 10
-    cam_bias_lambda: float = 0.5       # ridge reg of camera whitening
+    cam_bias_lambda: float = 0.05      # ridge reg of camera whitening (ref la=0.05)
     tta_flip: bool = True
     smooth_tracklet_alpha: float = 0.1 # ref inference_utils.py:27
 

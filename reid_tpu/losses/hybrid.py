@@ -85,8 +85,11 @@ def hybrid_loss(
         aux["dcc"] = dcc
 
     if cfg.use_ce:
+        # The reference HybridLossWeighted applies the smoothed CE UNWEIGHTED
+        # (`self.smooth(outputs, targets)`, hybrid_losses.py:85) — per-sample
+        # weights gate only the triplet and center terms.
         ce = cross_entropy_label_smooth(
-            logits, labels, cfg.smoothing, cfg.epsilon, cfg.tao, weights
+            logits, labels, cfg.smoothing, cfg.epsilon, cfg.tao, None
         )
         total = total + ce
         aux["ce"] = ce

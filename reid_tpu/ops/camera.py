@@ -27,14 +27,16 @@ def _l2n(x, eps=1e-12):
 def diminish_camera_bias(
     embeddings: jnp.ndarray,
     cams: jnp.ndarray,
-    lambda_reg: float = 0.5,
+    lambda_reg: float = 0.05,
     num_cams: int | None = None,
 ) -> jnp.ndarray:
     """Per-camera whitening. Numerics follow ref inference_utils.py:5-15.
 
-    For each camera c with n_c samples E_c:
-      E_c <- E_c - mean(E_c);  P = (E_cᵀE_c + n_c*lambda*I)^-1;  E_c <- E_c P
-    then global L2 normalization.
+    For each camera c with n_c samples E_c (the reference snapshots
+    `cur_embeddings` BEFORE in-place centering, so the Gram matrix uses the
+    UNCENTERED embeddings):
+      P = (E_cᵀE_c + n_c*lambda*I)^-1;  E_c <- (E_c - mean(E_c)) P
+    then per-row L2 normalization. Default lambda 0.05 (ref `la=0.05`).
     """
     if num_cams is None:
         num_cams = int(jax.device_get(jnp.max(cams))) + 1
@@ -46,9 +48,10 @@ def diminish_camera_bias(
         mask = (cams == c).astype(jnp.float32)[:, None]
         n_c = jnp.maximum(jnp.sum(mask), 1.0)
         mean = jnp.sum(x * mask, axis=0, keepdims=True) / n_c
-        centered = (x - mean) * mask
-        gram = jnp.dot(centered.T, centered, preferred_element_type=jnp.float32)
+        raw = x * mask
+        gram = jnp.dot(raw.T, raw, preferred_element_type=jnp.float32)
         p = jnp.linalg.inv(gram + n_c * lambda_reg * jnp.eye(d))
+        centered = (x - mean) * mask
         whitened = jnp.dot(centered, p, preferred_element_type=jnp.float32)
         out = jnp.where(mask > 0, whitened, out)
     return _l2n(out)

@@ -100,7 +100,12 @@ def train_cnn(
             if use_xbm:
                 dev_batch["xbm_active"] = jnp.asarray(
                     epoch > cfg.loss.xbm_start_epoch)
-            if np.any(np.asarray(batch["weights"]) > 0):
+            # In the continual (cross-domain) phase, ALWAYS pass the weights
+            # tensor — the reference passes weights on every batch, so a
+            # pure-source batch contributes zero triplet/center loss (flags
+            # all 0), not full unweighted loss. A constant batch signature
+            # also keeps the jit cache to one entry.
+            if dataset.cross_domain:
                 dev_batch["weights"] = _continual_weights(batch["weights"])
             state, metrics = train_step(state, dev_batch)
             if i % log_every == 0:

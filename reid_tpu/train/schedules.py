@@ -27,11 +27,14 @@ def warmup_cosine_schedule(
     hold_epochs: int = 30,
     eta_min: float = 7e-7,
 ) -> optax.Schedule:
-    """Ref WarmUpCosineScheduler (train_prepare.py:84-117)."""
+    """Ref WarmUpCosineScheduler (train_prepare.py:84-117): linear warmup with
+    factor 0.01*(1-alpha)+alpha (alpha = epoch/warmup), hold base LR to
+    `hold_epochs`, cosine decay to eta_min over the remaining epochs."""
 
     def schedule(step):
         epoch = step / steps_per_epoch
-        warm = base_lr * jnp.minimum(epoch + 1.0, float(warmup_epochs)) / warmup_epochs
+        alpha = jnp.clip(epoch / warmup_epochs, 0.0, 1.0)
+        warm = base_lr * (0.01 * (1.0 - alpha) + alpha)
         denom = max(total_epochs - hold_epochs, 1)
         t = jnp.clip((epoch - hold_epochs) / denom, 0.0, 1.0)
         cos = eta_min + 0.5 * (base_lr - eta_min) * (1.0 + jnp.cos(jnp.pi * t))
@@ -42,13 +45,16 @@ def warmup_cosine_schedule(
 
 
 def warmup_linear_hold_schedule(
-    base_lr: float, steps_per_epoch: int, warmup_epochs: int = 10
+    base_lr: float, steps_per_epoch: int, warmup_epochs: int = 10,
+    warmup_factor: float = 0.01,
 ) -> optax.Schedule:
-    """Ref WarmUpScheduler (train_prepare.py:50-81)."""
+    """Ref WarmUpScheduler (train_prepare.py:50-81): linear warmup from
+    warmup_factor*base_lr (factor = wf*(1-alpha)+alpha), then constant."""
 
     def schedule(step):
         epoch = step / steps_per_epoch
-        return base_lr * jnp.minimum(epoch + 1.0, float(warmup_epochs)) / warmup_epochs
+        alpha = jnp.clip(epoch / warmup_epochs, 0.0, 1.0)
+        return base_lr * (warmup_factor * (1.0 - alpha) + alpha)
 
     return schedule
 

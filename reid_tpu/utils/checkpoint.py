@@ -33,6 +33,24 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None) -> str:
     return path
 
 
+def _key_tokens(kp) -> tuple:
+    """Normalize a tree keypath to structure-agnostic string tokens.
+
+    flax-struct / NamedTuple targets flatten as GetAttrKey entries
+    (`.params[...]`) while orbax restores nested dicts (`['params'][...]`);
+    comparing raw `keystr` output never matches. Token tuples compare equal
+    regardless of the container kind."""
+    toks = []
+    for entry in kp:
+        name = getattr(entry, "name", None)
+        if name is None:
+            name = getattr(entry, "key", None)
+        if name is None:
+            name = getattr(entry, "idx", None)
+        toks.append(str(name))
+    return tuple(toks)
+
+
 def restore_checkpoint(path: str, target: Any) -> Any:
     """Restore array leaves into `target`'s structure (strict=False spirit:
     missing/mismatched leaves keep the target's value, like the reference's
@@ -44,21 +62,23 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 
     tgt_arrays = _array_leaves(target)
     flat_tgt, treedef = jax.tree_util.tree_flatten_with_path(tgt_arrays)
-    flat_res = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
-
-    def key_str(kp):
-        return jax.tree_util.keystr(kp)
-
-    res_by_key = {key_str(kp): v for kp, v in
+    res_by_key = {_key_tokens(kp): v for kp, v in
                   jax.tree_util.tree_flatten_with_path(restored)[0]}
-    merged = []
+    merged, n_key_hit = [], 0
     for kp, v in flat_tgt:
-        r = res_by_key.get(key_str(kp))
+        r = res_by_key.get(_key_tokens(kp))
+        if r is not None:
+            n_key_hit += 1
         if r is not None and np.shape(r) == np.shape(v):
             merged.append(jax.numpy.asarray(r, dtype=v.dtype)
                           if hasattr(v, "dtype") else r)
         else:
-            merged.append(v)
+            merged.append(v)  # strict=False: keep target on miss/mismatch
+    if flat_tgt and n_key_hit == 0:
+        raise ValueError(
+            f"restore_checkpoint({path}): no checkpoint leaf matched the "
+            f"target structure ({len(flat_tgt)} target leaves) — refusing to "
+            "silently return fresh-init values")
     arrays = jax.tree_util.tree_unflatten(treedef, merged)
     return _merge_arrays(target, arrays)
 

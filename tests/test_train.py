@@ -69,8 +69,11 @@ def test_warmup_cosine_shape():
     sched = warmup_cosine_schedule(1e-3, total_epochs=60, steps_per_epoch=10,
                                    warmup_epochs=10, hold_epochs=30,
                                    eta_min=7e-7)
-    # warmup: epoch0 -> lr/10
-    assert abs(float(sched(0)) - 1e-4) < 1e-9
+    # warmup: epoch0 -> warmup_factor*lr = 1% (ref WarmUpScheduler factor
+    # 0.01*(1-alpha)+alpha, train_prepare.py:74-76)
+    assert abs(float(sched(0)) - 1e-5) < 1e-9
+    # mid-warmup, epoch 5: factor = 0.01*0.5 + 0.5 = 0.505
+    assert abs(float(sched(5 * 10)) - 0.505e-3) < 1e-9
     # end of warmup / hold region -> base lr
     assert abs(float(sched(10 * 10)) - 1e-3) < 1e-9
     assert abs(float(sched(29 * 10)) - 1e-3) < 1e-9

@@ -43,6 +43,49 @@ def test_checkpoint_strict_false_shape_mismatch(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["classifier"]), 0.0)
 
 
+def test_checkpoint_roundtrip_real_train_state(tmp_path):
+    """Round-trip the FULL ReIDTrainState (flax struct + NamedTuple loss
+    state) — regression for the keystr mismatch where GetAttrKey paths never
+    matched orbax's nested-dict keys and restore silently returned the
+    fresh-init target."""
+    from reid_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+    from reid_tpu.models import build_model
+    from reid_tpu.train import create_train_state
+
+    cfg = Config(
+        model=ModelConfig(num_classes=4, feat_dim=512),
+        loss=LossConfig(),
+        train=TrainConfig(batch_size=8, num_instances=2, epochs=2,
+                          warmup_epochs=1, hold_epochs=1),
+    )
+    model = build_model("seres18", num_classes=4)
+    s1 = create_train_state(jax.random.PRNGKey(0), model, cfg,
+                            steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+    s1 = s1.replace(step=41)
+    p = str(tmp_path / "state_ckpt")
+    save_checkpoint(p, s1)
+
+    s2 = create_train_state(jax.random.PRNGKey(9), model, cfg,
+                            steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params))
+    ), "different seeds should give different params"
+    s3 = restore_checkpoint(p, s2)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s3.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(s1.loss_state.centers),
+                               np.asarray(s3.loss_state.centers))
+    np.testing.assert_allclose(np.asarray(s1.loss_state.dcc.lut_ccc),
+                               np.asarray(s3.loss_state.dcc.lut_ccc))
+    assert int(s3.step) == 41
+
+
 def test_export_roundtrip_dynamic_batch(tmp_path):
     w = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)), jnp.float32)
 
