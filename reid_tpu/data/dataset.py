@@ -121,6 +121,13 @@ class ReIDDataset:
             self._cache.update(decoded)
         return decoded
 
+    def preload(self, images: Sequence[np.ndarray]):
+        """Inject decoded images directly (in-memory datasets: tests, the
+        multi-chip dryrun) — bypasses file IO entirely."""
+        for i, arr in enumerate(images):
+            self._cache[i] = np.asarray(arr, np.uint8)
+        return self
+
     def gather(self, indices: Sequence[int]) -> dict:
         """Assemble a host batch dict for the given indices."""
         decoded = self._decode_batch_native(indices)
@@ -137,3 +144,27 @@ class ReIDDataset:
             "weights": np.asarray([float(self.flags[i]) for i in indices],
                                   np.float32),
         }
+
+
+def synthetic_dataset(n: int = 16, num_pids: int = 4, height: int = 32,
+                      width: int = 16, num_cams: int = 2,
+                      seed: int = 0, cam_offset: int = 0,
+                      palette_seed: int = 0) -> ReIDDataset:
+    """In-memory color-separable synthetic dataset — the no-filesystem
+    fixture for multi-device tests and the driver's multi-chip dryrun.
+    `palette_seed` fixes identity colors across query/gallery splits;
+    `cam_offset` gives a split distinct camera ids (CMC junk rules mask
+    same-id same-cam matches)."""
+    rng = np.random.default_rng(seed)
+    palette = np.random.default_rng(palette_seed).integers(
+        40, 220, (num_pids, 3))
+    records = [(f"<synthetic-{i}>", i % num_pids, i % num_cams + cam_offset, 0)
+               for i in range(n)]
+    ds = ReIDDataset(records, num_pids, height, width)
+    images = []
+    for i in range(n):
+        base = np.broadcast_to(palette[i % num_pids],
+                               (height, width, 3)).astype(np.int64)
+        noise = rng.integers(-25, 25, (height, width, 3))
+        images.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+    return ds.preload(images)

@@ -70,15 +70,19 @@ class PrefetchLoader:
 
 def make_train_loader(dataset: ReIDDataset, batch_size: int,
                       num_instances: int, seed: int = 0,
-                      epoch: int = 0) -> PrefetchLoader:
+                      epoch: int = 0,
+                      device_put: bool = True) -> PrefetchLoader:
     """PK-sampled epoch loader (ref RandomIdentitySampler_ when --instance>0,
-    plain shuffle otherwise — image_reid_train.py:51-58)."""
+    plain shuffle otherwise — image_reid_train.py:51-58). Pass
+    device_put=False when the consumer places batches itself (e.g. sharded
+    over a mesh via parallel.place_batch)."""
     rng = np.random.default_rng(seed + epoch)
     if num_instances > 0:
         idx = pk_epoch_indices(dataset.labels, batch_size, num_instances, rng)
     else:
         idx = rng.permutation(len(dataset))
-    return PrefetchLoader(dataset, batch_size, idx, drop_last=False)
+    return PrefetchLoader(dataset, batch_size, idx, drop_last=False,
+                          device_put=device_put)
 
 
 def make_eval_loader(dataset: ReIDDataset, batch_size: int) -> PrefetchLoader:

@@ -17,9 +17,9 @@ import numpy as np
 from ..config import Config
 from ..data import ReIDDataset
 from ..ops import (
-    compute_jaccard_distance,
     dbscan_precomputed,
     diminish_camera_bias,
+    jaccard_distance,
     smooth_tracklets,
 )
 from ..train.image_train import extract_embeddings
@@ -36,8 +36,13 @@ def run_inference(
     use_tracklet_smoothing: bool = True,
     attribute_dist: Optional[np.ndarray] = None,
     verbose: bool = True,
+    mesh=None,
 ) -> Tuple[np.ndarray, float]:
-    """Returns (CMC, mAP). Follows ref image_reid_inference.py main :242-320."""
+    """Returns (CMC, mAP). Follows ref image_reid_inference.py main :242-320.
+
+    With a multi-device `mesh`, the N^2 Jaccard re-ranking runs row-sharded
+    over the mesh (faiss IndexShards role) — gallery scale grows with chips.
+    """
     gf = extract_embeddings(state, gallery, cfg.train.batch_size,
                             cfg.retrieval.tta_flip)
     qf = extract_embeddings(state, query, cfg.train.batch_size,
@@ -60,8 +65,9 @@ def run_inference(
             lambda_reg=cfg.retrieval.cam_bias_lambda,
             num_cams=int(cams.max()) + 1))
 
-    dists = np.asarray(compute_jaccard_distance(
-        jnp.asarray(merged), k1=cfg.retrieval.k1, k2=cfg.retrieval.k2))
+    dists = np.asarray(jaccard_distance(
+        jnp.asarray(merged), k1=cfg.retrieval.k1, k2=cfg.retrieval.k2,
+        mesh=mesh))
 
     if attribute_dist is not None:
         dists = dists + attribute_dist
@@ -81,9 +87,9 @@ def run_inference(
             merged = np.asarray(smooth_tracklets(
                 jnp.asarray(merged), jnp.asarray(tracklet_ids),
                 alpha=cfg.retrieval.smooth_tracklet_alpha))
-            dists = np.asarray(compute_jaccard_distance(
+            dists = np.asarray(jaccard_distance(
                 jnp.asarray(merged), k1=cfg.retrieval.k1,
-                k2=cfg.retrieval.k2))
+                k2=cfg.retrieval.k2, mesh=mesh))
 
     # query-to-gallery block of the merged distance matrix
     qg = dists[n_g:, :n_g]

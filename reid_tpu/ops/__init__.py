@@ -16,6 +16,10 @@ from .distance import (
     topk_neighbors,
 )
 from .camera import diminish_camera_bias, smooth_tracklets
-from .rerank import compute_jaccard_distance
+from .rerank import (
+    compute_jaccard_distance,
+    compute_jaccard_distance_sharded,
+    jaccard_distance,
+)
 from .dbscan import dbscan_precomputed
 from .kmeans import kmeans

@@ -94,11 +94,11 @@ def compute_jaccard_distance_sharded(
     gallery size scales with the mesh. One all-gather reconstructs the V
     encoding for the L1 min-sum (V is the only tensor every row pair needs).
 
-    N must be divisible by the mesh size (pad upstream). Numerics identical
-    to `compute_jaccard_distance`.
+    Arbitrary N: rows are zero-padded to a multiple of the mesh size with a
+    validity mask (padded rows form self-only reciprocal sets — masked out of
+    every real row's ranking — and the result is sliced back to (N, N)).
+    Numerics identical to `compute_jaccard_distance`.
     """
-    import numpy as np
-
     from .distance import pairwise_l1
 
     try:
@@ -116,19 +116,32 @@ def compute_jaccard_distance_sharded(
 
     from jax.sharding import PartitionSpec as P
 
-    n = features.shape[0]
+    n_real = features.shape[0]
     p = mesh.devices.size
-    assert n % p == 0, f"N={n} must divide mesh size {p}"
+    pad = (-n_real) % p
     k_half = int(round(k1 / 2))
 
     feats = features.astype(jnp.float32)
     feats = feats / jnp.maximum(
         jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
-    # global initial ranking (top-k is cheap; reuse the single-device path)
-    _, initial_rank = topk_neighbors(feats, feats, k=k1 + 1)
+    if pad:
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((pad, feats.shape[1]), jnp.float32)])
+    n = feats.shape[0]
+    valid = jnp.arange(n) < n_real
 
-    f_full = _topk_mask(initial_rank[:, : k1 + 1], n)
-    f_half = _topk_mask(initial_rank[:, : k_half + 1], n)
+    # initial ranking via masked similarity (dist = 2 - 2*sim for unit rows):
+    # padded columns can never enter a real row's top-k; every row ranks
+    # itself first so padded rows end up with self-only reciprocal sets.
+    sim_all = jnp.dot(feats, feats.T, preferred_element_type=jnp.float32)
+    simm = jnp.where(valid[None, :], sim_all, -jnp.inf)
+    simm = jnp.where(jnp.eye(n, dtype=bool), 2.0, simm)
+    _, initial_rank = jax.lax.top_k(simm, k1 + 1)
+
+    f_full = _topk_mask(initial_rank[:, : k1 + 1], n) & valid[None, :]
+    f_full = f_full | jnp.eye(n, dtype=bool)
+    f_half = _topk_mask(initial_rank[:, : k_half + 1], n) & valid[None, :]
+    f_half = f_half | jnp.eye(n, dtype=bool)
     r_full = f_full & f_full.T
     r_half = f_half & f_half.T
     sizes_h = jnp.sum(r_half.astype(jnp.float32), axis=1)
@@ -169,5 +182,16 @@ def compute_jaccard_distance_sharded(
         tm = 1.0 - 0.5 * pairwise_l1(v_rows, v_all, use_pallas=False)
         return jnp.maximum(1.0 - tm / (2.0 - tm), 0.0)
 
-    return shard_map(jac_rows, mesh, in_specs=(P(axis, None), P()),
-                     out_specs=P(axis, None))(v, v)
+    out = shard_map(jac_rows, mesh, in_specs=(P(axis, None), P()),
+                    out_specs=P(axis, None))(v, v)
+    return out[:n_real, :n_real]
+
+
+def jaccard_distance(features: jnp.ndarray, k1: int = 20, k2: int = 6,
+                     mesh=None) -> jnp.ndarray:
+    """Mesh-aware dispatcher: row-sharded Jaccard when a multi-device mesh is
+    given, the single-device path otherwise. This is what the product
+    inference/pseudo-label drivers call."""
+    if mesh is not None and mesh.devices.size > 1:
+        return compute_jaccard_distance_sharded(mesh, features, k1=k1, k2=k2)
+    return compute_jaccard_distance(features, k1=k1, k2=k2)

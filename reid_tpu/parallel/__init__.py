@@ -1,6 +1,9 @@
 from .mesh import (
+    default_mesh,
+    fit_mesh,
     make_mesh,
     make_mesh_2d,
+    place_batch,
     replicate,
     shard_batch,
     shard_params_tp,

@@ -29,6 +29,45 @@ def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def default_mesh(axis: str = "data") -> Mesh:
+    """Mesh over ALL local devices — the product train/eval loops' default
+    (role of the reference's nn.DataParallel-wraps-everything default,
+    image_reid_train.py:622,635). Size 1 on a single chip; the same code
+    path then runs unsharded."""
+    return make_mesh(0, axis)
+
+
+def fit_mesh(batch_size: int, axis: str = "data") -> Mesh:
+    """Default mesh for a train loop: the largest local-device count that
+    divides `batch_size` (nn.DataParallel likewise splits whatever batch it
+    gets over however many GPUs fit)."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n:
+        n -= 1
+    return make_mesh(n, axis)
+
+
+# Per-sample batch entries (leading dim = batch) — everything else in a batch
+# dict (aug PRNG key, xbm gate scalar) is replicated.
+_BATCH_KEYS = frozenset(
+    {"images", "labels", "cams", "seqs", "weights", "conf", "valid", "tlwh"})
+
+
+def place_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
+    """Device-place one train/eval batch: per-sample arrays sharded over the
+    mesh axis, auxiliaries replicated. The explicit device_put doubles as the
+    H2D prefetch boundary (role of ref `images.cuda(non_blocking=True)`)."""
+    out = {}
+    for k, v in batch.items():
+        v = jnp.asarray(v)
+        if k in _BATCH_KEYS and v.ndim >= 1:
+            spec = P(axis, *([None] * (v.ndim - 1)))
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
 def make_mesh_2d(n_data: int, n_model: int,
                  axes=("data", "model")) -> Mesh:
     """2D mesh for combined data x tensor parallelism."""

@@ -63,8 +63,22 @@ def train_cnn(
     use_xbm: bool = False,
     log_every: int = 50,
     ckpt_dir: str = "checkpoint",
+    mesh=None,
 ) -> Tuple[ReIDTrainState, list]:
-    """Main train loop (ref train_cnn :39-112 / train_cnn XBM variant)."""
+    """Main train loop (ref train_cnn :39-112 / train_cnn XBM variant).
+
+    Data-parallel by default: the state is replicated and every batch is
+    sharded over `mesh` (all local devices when None — the role of the
+    reference's nn.DataParallel wrap + DDP ddp_trigger, train_utils.py:45-77);
+    XLA inserts the gradient all-reduce and global BN statistics over ICI.
+    """
+    from ..parallel import fit_mesh, place_batch, replicate
+
+    if mesh is None:
+        mesh = fit_mesh(cfg.train.batch_size)
+    n_dev = mesh.devices.size
+    assert cfg.train.batch_size % n_dev == 0, (
+        f"batch_size {cfg.train.batch_size} not divisible by mesh size {n_dev}")
     model = build_model(cfg.model.backbone, num_classes=cfg.model.num_classes,
                         num_cams=cfg.model.num_cams,
                         dtype=jnp.dtype(cfg.model.dtype))
@@ -74,6 +88,7 @@ def train_cnn(
             jax.random.PRNGKey(cfg.train.seed), model, cfg, steps_per_epoch,
             input_shape=(2, cfg.data.height, cfg.data.width, 3),
         )
+    state = replicate(mesh, state)
     train_step = make_train_step(cfg, use_xbm_gate=use_xbm)
     aug_key = jax.random.PRNGKey(cfg.train.seed + 1)
 
@@ -84,7 +99,8 @@ def train_cnn(
                                   cfg.model.num_classes)
         loader = make_train_loader(dataset, cfg.train.batch_size,
                                    cfg.train.num_instances,
-                                   seed=cfg.train.seed, epoch=epoch)
+                                   seed=cfg.train.seed, epoch=epoch,
+                                   device_put=False)
         t0 = time.time()
         for i, batch in enumerate(loader):
             aug_key, k = jax.random.split(aug_key)
@@ -107,6 +123,7 @@ def train_cnn(
             # also keeps the jit cache to one entry.
             if dataset.cross_domain:
                 dev_batch["weights"] = _continual_weights(batch["weights"])
+            dev_batch = place_batch(mesh, dev_batch)
             state, metrics = train_step(state, dev_batch)
             if i % log_every == 0:
                 loss = float(metrics["loss"])
@@ -163,21 +180,33 @@ def produce_pseudo_data(
     state: ReIDTrainState,
     target_dataset: ReIDDataset,
     cfg: Config,
+    mesh=None,
+    min_yield: float = 0.2,
 ) -> Tuple[list, np.ndarray, int]:
     """Pseudo-label a target-domain train set (ref :342-402):
     embed -> camera de-bias -> Jaccard -> DBSCAN -> (records, centroids, k).
-    Returns pseudo records with pids offset by the source class count."""
+    Returns pseudo records with pids offset by the source class count.
+    When a multi-device mesh is given the Jaccard matrix is row-sharded."""
+    from ..ops import jaccard_distance
+
     emb = extract_embeddings(state, target_dataset, cfg.train.batch_size,
                              cfg.retrieval.tta_flip)
     emb = np.asarray(diminish_camera_bias(
         jnp.asarray(emb), jnp.asarray(target_dataset.cams),
         lambda_reg=cfg.retrieval.cam_bias_lambda,
         num_cams=int(target_dataset.cams.max()) + 1))
-    jac = np.asarray(compute_jaccard_distance(
-        jnp.asarray(emb), k1=cfg.retrieval.k1, k2=cfg.retrieval.k2))
+    jac = np.asarray(jaccard_distance(
+        jnp.asarray(emb), k1=cfg.retrieval.k1, k2=cfg.retrieval.k2,
+        mesh=mesh))
     labels = dbscan_precomputed(jac, eps=cfg.retrieval.dbscan_eps,
                                 min_samples=cfg.retrieval.dbscan_min_samples)
     num_clusters = int(labels.max()) + 1 if labels.max() >= 0 else 0
+    # pseudo-label yield floor (ref image_reid_inference.py:304): refuse to
+    # continue a continual run whose clustering collapsed.
+    if num_clusters < min_yield * target_dataset.num_train_pids:
+        raise RuntimeError(
+            f"pseudo-label yield too low: {num_clusters} clusters < "
+            f"{min_yield:.0%} of {target_dataset.num_train_pids} train pids")
 
     base = cfg.model.num_classes
     records, feats_kept, labels_kept = [], [], []
@@ -265,6 +294,7 @@ def train_continual(
     centroids: np.ndarray,
     num_new: int,
     epochs: int = 40,
+    mesh=None,
 ) -> Tuple[ReIDTrainState, list]:
     """Continual phase (ref train_cnn_continual :405-479): merge pseudo data
     into the source dataset, expand the classifier, train with weighted
@@ -281,4 +311,4 @@ def train_continual(
                                      "lr": 7e-5, "warmup_epochs": 1,
                                      "hold_epochs": 20}),
     )
-    return train_cnn(cfg, source_dataset, state=state)
+    return train_cnn(cfg, source_dataset, state=state, mesh=mesh)

@@ -140,8 +140,20 @@ def make_video_train_step(cfg: Config, model, tx):
 
 def train_video(cfg: Config, dataset: VideoTrackletDataset,
                 epochs: int = 25, batch_size: int = 8,
-                seq_len: int = 10) -> Tuple[dict, list]:
-    """Ref train (:110-138). Returns (variables, loss_stats)."""
+                seq_len: int = 10, mesh=None) -> Tuple[dict, list]:
+    """Ref train (:110-138). Returns (variables, loss_stats).
+
+    Data-parallel over `mesh` (all local devices when None): params/opt-state
+    replicated, batches sharded over axis "data" — the native counterpart of
+    the reference's DDP path (ref distributed_train :142-181, ddp_trigger
+    train_utils.py:45-77); XLA's GSPMD inserts the gradient all-reduce and
+    the global 3D-BN statistics over ICI."""
+    from ..parallel import fit_mesh, place_batch, replicate
+
+    if mesh is None:
+        mesh = fit_mesh(batch_size)
+    assert batch_size % mesh.devices.size == 0, (
+        f"batch_size {batch_size} not divisible by mesh {mesh.devices.size}")
     num_classes = len(dataset.labels)
     model = build_model("video_resnet50", num_classes=num_classes,
                         dtype=jnp.dtype(cfg.model.dtype))
@@ -157,12 +169,12 @@ def train_video(cfg: Config, dataset: VideoTrackletDataset,
 
     carry = (variables["params"], variables.get("batch_stats", {}),
              tx.init(variables["params"]), loss_state)
+    carry = replicate(mesh, carry)
     losses = []
     rng = np.random.default_rng(cfg.train.seed)
     for epoch in range(epochs):
         for batch in dataset.batches(batch_size, rng):
-            batch = {"images": jnp.asarray(batch["images"]),
-                     "labels": jnp.asarray(batch["labels"])}
+            batch = place_batch(mesh, batch)
             carry, loss = step(carry, batch)
             losses.append(float(loss))
     params, batch_stats = carry[0], carry[1]

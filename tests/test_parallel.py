@@ -77,6 +77,63 @@ def test_dp_matches_single_device(rng):
     assert abs(float(m_single["loss"]) - float(m_shard["loss"])) < 1e-3
 
 
+def test_train_cnn_dp_matches_single_device():
+    """The PRODUCT train loop (train_cnn itself, not a hand-built step) on an
+    8-device mesh produces the same per-step losses as on a 1-device mesh —
+    GSPMD DP == single device."""
+    from reid_tpu.config import DataConfig
+    from reid_tpu.data import synthetic_dataset
+    from reid_tpu.train.image_train import train_cnn
+    import tempfile
+
+    cfg = Config(
+        model=ModelConfig(num_classes=4, dtype="float32"),
+        train=TrainConfig(batch_size=8, num_instances=2, epochs=1,
+                          warmup_epochs=1, hold_epochs=1),
+        data=DataConfig(height=32, width=16),
+    )
+    ds = synthetic_dataset(n=16, num_pids=4, height=32, width=16)
+    _, losses_1 = train_cnn(cfg, ds, log_every=1, mesh=make_mesh(1),
+                            ckpt_dir=tempfile.mkdtemp())
+    _, losses_8 = train_cnn(cfg, ds, log_every=1, mesh=make_mesh(8),
+                            ckpt_dir=tempfile.mkdtemp())
+    assert len(losses_1) == len(losses_8) >= 2
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-3, atol=2e-3)
+
+
+def test_train_cnn_dp_sharded_jaccard_inference():
+    """run_inference with a mesh: the row-sharded Jaccard path feeds CMC/mAP
+    (arbitrary N — padding handled internally)."""
+    from reid_tpu.config import DataConfig, RetrievalConfig
+    from reid_tpu.data import synthetic_dataset
+    from reid_tpu.eval.inference import run_inference
+    from reid_tpu.models import build_model
+    from reid_tpu.train import create_train_state
+    import tempfile
+
+    cfg = Config(
+        model=ModelConfig(num_classes=4, dtype="float32"),
+        train=TrainConfig(batch_size=8, num_instances=2, epochs=1,
+                          warmup_epochs=1, hold_epochs=1),
+        data=DataConfig(height=32, width=16),
+        retrieval=RetrievalConfig(k1=6, k2=2, dbscan_min_samples=2),
+    )
+    model = build_model("seres18", num_classes=4)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg,
+                               steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+    # N = 6 query + 13 gallery = 19, NOT divisible by 8 -> exercises padding
+    query = synthetic_dataset(n=6, num_pids=3, height=32, width=16, seed=1,
+                              cam_offset=4)
+    gallery = synthetic_dataset(n=13, num_pids=3, height=32, width=16, seed=2)
+    mesh = make_mesh(8)
+    cmc, mAP = run_inference(state, query, gallery, cfg, rerank=True,
+                             verbose=False, mesh=mesh)
+    assert 0.0 <= mAP <= 1.0 and np.isfinite(mAP)
+    cmc0, mAP0 = run_inference(state, query, gallery, cfg, rerank=True,
+                               verbose=False, mesh=None)
+    assert abs(mAP - mAP0) < 1e-4
+
+
 def test_sharded_jaccard_matches_dense(rng):
     from reid_tpu.ops import compute_jaccard_distance
     from reid_tpu.ops.rerank import compute_jaccard_distance_sharded
