@@ -1,62 +1,86 @@
-"""Experiment: end-to-end tracking quality on a synthetic MOT scene.
+"""Experiment: end-to-end tracking quality on a synthetic MOT scene,
+scored PER TRACKING METHOD (strongsort / deepocsort / ocsort / bytetrack /
+botsort — ref track_yolov5.py:356).
 
 120 frames, 10 targets with crossing linear trajectories, detection noise
 (8% dropout, box jitter, false positives), real SERes18 embeddings, scored
-with the native CLEAR/Identity metrics. Measured on one TPU v5e:
-MOTA 90.9 / MOTP 87.9 / IDF1 92.9 / IDSW 2 over 1200 gt boxes.
+with the native CLEAR/Identity metrics. Round-1 single-method baseline on
+one TPU v5e: MOTA 90.9 / MOTP 87.9 / IDF1 92.9 / IDSW 2 over 1200 gt boxes.
 
-Run: python examples/experiment_mot_quality.py
+Run: python examples/experiment_mot_quality.py [method ...]
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np, jax, jax.numpy as jnp
-from reid_tpu.config import TrackerConfig
 from reid_tpu.models import build_model
+from reid_tpu.tracking.methods import method_config
 from reid_tpu.tracking.pipeline import TrackingPipeline
 from reid_tpu.tracking.metrics import evaluate_clear_identity
 
 T, N_T, MAX_DETS = 120, 10, 16
-rng = np.random.default_rng(0)
 H, W = 480, 640
+
+# ---- build the scene ONCE (shared across methods)
+rng = np.random.default_rng(0)
 colors = rng.integers(60, 250, (N_T, 3))
-# trajectories: linear paths with different speeds/directions incl. crossings
 starts = rng.uniform([0, 0], [W - 60, H - 120], (N_T, 2))
 vels = rng.uniform(-4, 4, (N_T, 2))
 
-cfg = TrackerConfig(max_tracks=64, max_dets=MAX_DETS, n_init=2, crop_hw=(128, 64))
-model = build_model("seres18", num_classes=128, dtype=jnp.bfloat16)
-v = jax.jit(lambda k, x: model.init(k, x, train=True))(jax.random.PRNGKey(0), jnp.zeros((4,128,64,3), jnp.bfloat16))
-
-def embed_fn(params, batch_stats, crops):
-    f, l = model.apply({"params": params, "batch_stats": batch_stats}, crops.astype(jnp.bfloat16), train=False)
-    f = jnp.concatenate([f.astype(jnp.float32), l.astype(jnp.float32)], axis=1)
-    return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
-
-pipe = TrackingPipeline(cfg, embed_fn, v["params"], v["batch_stats"], feat_dim=512+128)
-gt, t0 = {}, time.time()
+frames = np.zeros((T, H, W, 3), np.uint8)
+all_tlwh = np.zeros((T, MAX_DETS, 4), np.float32)
+all_conf = np.zeros((T, MAX_DETS), np.float32)
+all_valid = np.zeros((T, MAX_DETS), bool)
+gt = {}
 for t in range(T):
     frame = rng.integers(0, 50, (H, W, 3)).astype(np.uint8)
     boxes, ids = [], []
-    tlwh = np.zeros((MAX_DETS, 4), np.float32); conf = np.zeros(MAX_DETS, np.float32); valid = np.zeros(MAX_DETS, bool)
     j = 0
     for i in range(N_T):
-        x = float(np.clip(starts[i,0] + vels[i,0]*t, 0, W-40))
-        y = float(np.clip(starts[i,1] + vels[i,1]*t, 0, H-90))
+        x = float(np.clip(starts[i, 0] + vels[i, 0] * t, 0, W - 40))
+        y = float(np.clip(starts[i, 1] + vels[i, 1] * t, 0, H - 90))
         w_, h_ = 32, 80
-        frame[int(y):int(y+h_), int(x):int(x+w_)] = colors[i]
+        frame[int(y):int(y + h_), int(x):int(x + w_)] = colors[i]
         boxes.append((x, y, w_, h_)); ids.append(i)
-        # detection noise: 8% dropout, +-2px jitter, conf noise
-        if rng.random() < 0.08: continue
-        tlwh[j] = (x + rng.normal(0,2), y + rng.normal(0,2), w_ + rng.normal(0,1.5), h_ + rng.normal(0,2))
-        conf[j] = 0.7 + 0.25*rng.random(); valid[j] = True; j += 1
-    # 5% false positives
-    if rng.random() < 0.3 and j < MAX_DETS:
-        tlwh[j] = (rng.uniform(0, W-40), rng.uniform(0, H-90), 32, 80); conf[j] = 0.6; valid[j] = True; j += 1
-    gt[t+1] = (np.asarray(boxes, float), np.asarray(ids, int))
-    pipe.step(t+1, frame, tlwh, conf, valid)
-hyp = {r["frame"]: (np.asarray(r["tlwh"])[np.asarray(r["valid"])],
-                    np.asarray(r["ids"])[np.asarray(r["valid"])]) for r in pipe.results}
-m = evaluate_clear_identity(gt, hyp)
-print({k: round(vv,2) for k, vv in m.items()}, flush=True)
-print(f"({T} frames, {time.time()-t0:.0f}s incl compile)", flush=True)
+        if rng.random() < 0.08:  # dropout
+            continue
+        all_tlwh[t, j] = (x + rng.normal(0, 2), y + rng.normal(0, 2),
+                          w_ + rng.normal(0, 1.5), h_ + rng.normal(0, 2))
+        all_conf[t, j] = 0.7 + 0.25 * rng.random()
+        all_valid[t, j] = True
+        j += 1
+    if rng.random() < 0.3 and j < MAX_DETS:  # false positive
+        all_tlwh[t, j] = (rng.uniform(0, W - 40), rng.uniform(0, H - 90),
+                          32, 80)
+        all_conf[t, j] = 0.6
+        all_valid[t, j] = True
+    frames[t] = frame
+    gt[t + 1] = (np.asarray(boxes, float), np.asarray(ids, int))
+
+# ---- shared embedder
+model = build_model("seres18", num_classes=128, dtype=jnp.bfloat16)
+v = jax.jit(lambda k, x: model.init(k, x, train=True))(
+    jax.random.PRNGKey(0), jnp.zeros((4, 128, 64, 3), jnp.bfloat16))
+
+def embed_fn(params, batch_stats, crops):
+    f, l = model.apply({"params": params, "batch_stats": batch_stats},
+                       crops.astype(jnp.bfloat16), train=False)
+    f = jnp.concatenate([f.astype(jnp.float32), l.astype(jnp.float32)], axis=1)
+    return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+
+METHODS = sys.argv[1:] or ["strongsort", "deepocsort", "ocsort",
+                           "bytetrack", "botsort"]
+for method in METHODS:
+    cfg = method_config(method, max_tracks=64, max_dets=MAX_DETS, n_init=2,
+                        crop_hw=(128, 64))
+    pipe = TrackingPipeline(cfg, embed_fn, v["params"], v["batch_stats"],
+                            feat_dim=512 + 128)
+    t0 = time.time()
+    for t in range(T):
+        pipe.step(t + 1, frames[t], all_tlwh[t], all_conf[t], all_valid[t])
+    hyp = {r["frame"]: (np.asarray(r["tlwh"])[np.asarray(r["valid"])],
+                        np.asarray(r["ids"])[np.asarray(r["valid"])])
+           for r in pipe.results}
+    m = evaluate_clear_identity(gt, hyp)
+    print(f"{method:11s}", {k: round(vv, 2) for k, vv in m.items()},
+          f"({time.time() - t0:.0f}s)", flush=True)
 print("DONE")

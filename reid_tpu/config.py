@@ -118,6 +118,29 @@ class TrackerConfig:
     ocm_weight: float = 0.0            # OCSort observation-centric momentum:
                                        # penalize dets whose direction from
                                        # the track disagrees with its velocity
+    oru: bool = False                  # OCSort observation-centric re-update:
+                                       # on re-association after a gap, re-run
+                                       # the Kalman filter along a virtual
+                                       # trajectory from the frozen state
+    ocr: bool = False                  # OCSort observation-centric recovery:
+                                       # final IoU association of unmatched
+                                       # tracks' LAST OBSERVATIONS vs dets
+    nsa: bool = False                  # StrongSort NSA Kalman: measurement
+                                       # noise scaled by (1 - det confidence)
+    dynamic_ema: bool = False          # DeepOCSort dynamic appearance: EMA
+                                       # trust scaled by det confidence
+    aw_scale: float = 0.0              # DeepOCSort adaptive appearance
+                                       # weighting: boost the appearance term
+                                       # by its row/col discriminativeness gap
+    aw_assoc: float = 0.75             # DeepOCSort base appearance weight in
+                                       # the additive IoU - w*sim cost
+    fuse_min: bool = False             # BoT-SORT fused cost: min(IoU dist,
+                                       # proximity-masked appearance dist)
+    fuse_theta_emb: float = 0.25       # BoT-SORT appearance mask threshold
+    fuse_theta_prox: float = 0.5       # BoT-SORT proximity (IoU dist) mask
+    use_gallery: bool = False          # NN_BUDGET appearance gallery (min
+                                       # cosine over the last nn_budget feats
+                                       # per track) instead of the EMA feature
     crop_hw: Tuple[int, int] = (256, 128)  # ReID crop (h, w); ref TRACKING_EVAL.md:5
 
 

@@ -64,10 +64,18 @@ def _project(mean, cov):
     return proj_mean, proj_cov
 
 
-def kalman_update(mean, cov, measurement):
-    """Measurement update; batched over leading axes via vmap."""
-    def one(m, c, z):
-        pm, pc = _project(m, c)
+def kalman_update(mean, cov, measurement, confidence=None):
+    """Measurement update; batched over leading axes via vmap.
+
+    `confidence` (per measurement, in [0, 1]) enables the NSA Kalman of
+    StrongSort: measurement noise R is scaled by (1 - confidence), so
+    high-confidence detections correct the state more aggressively."""
+    def one(m, c, z, conf):
+        r = _measurement_noise(m[3])
+        if conf is not None:
+            r = r * jnp.maximum(1.0 - conf, 1e-4)
+        pm = _H @ m
+        pc = _H @ c @ _H.T + r
         chol = jnp.linalg.cholesky(pc)
         # gain K = C Hᵀ (H C Hᵀ + R)⁻¹, via cholesky solve of (H C)
         k = jax.scipy.linalg.cho_solve((chol, True), _H @ c).T     # (8, 4)
@@ -76,8 +84,11 @@ def kalman_update(mean, cov, measurement):
         new_c = c - k @ pc @ k.T
         return new_m, new_c
     if mean.ndim == 1:
-        return one(mean, cov, measurement)
-    return jax.vmap(one)(mean, cov, measurement)
+        return one(mean, cov, measurement, confidence)
+    if confidence is None:
+        return jax.vmap(lambda m, c, z: one(m, c, z, None))(
+            mean, cov, measurement)
+    return jax.vmap(one)(mean, cov, measurement, confidence)
 
 
 def kalman_gating_distance(mean, cov, measurements):

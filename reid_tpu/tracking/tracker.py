@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..config import TrackerConfig
 from .assignment import INF_COST, gated_matches
-from .costs import appearance_cost, diou_matrix
+from .costs import appearance_cost, diou_matrix, iou_matrix
 from .kalman import (
     CHI2_GATE_4DOF,
     kalman_gating_distance,
@@ -53,9 +53,17 @@ class TrackerState(NamedTuple):
     time_since_update: jnp.ndarray  # (T,) int32
     track_id: jnp.ndarray    # (T,) int32 (1-based; 0 = none)
     next_id: jnp.ndarray     # () int32
+    last_obs: jnp.ndarray    # (T, 4) xyah of the last MATCHED observation
+    #                          (OCSort OCR recovery + ORU virtual trajectory)
+    frozen_mean: jnp.ndarray  # (T, 8) Kalman state frozen at the last match
+    frozen_cov: jnp.ndarray   # (T, 8, 8)   (OCSort ORU restart point)
+    gallery: jnp.ndarray     # (T, B, F) NN_BUDGET appearance ring (B=1 when
+    #                          the EMA feature is used instead)
+    gallery_count: jnp.ndarray  # (T,) int32 — total feats ever enqueued
 
 
-def init_tracker_state(max_tracks: int, feat_dim: int) -> TrackerState:
+def init_tracker_state(max_tracks: int, feat_dim: int,
+                       gallery_size: int = 1) -> TrackerState:
     return TrackerState(
         mean=jnp.zeros((max_tracks, 8), jnp.float32),
         cov=jnp.tile(jnp.eye(8)[None], (max_tracks, 1, 1)),
@@ -65,6 +73,11 @@ def init_tracker_state(max_tracks: int, feat_dim: int) -> TrackerState:
         time_since_update=jnp.zeros((max_tracks,), jnp.int32),
         track_id=jnp.zeros((max_tracks,), jnp.int32),
         next_id=jnp.ones((), jnp.int32),
+        last_obs=jnp.zeros((max_tracks, 4), jnp.float32),
+        frozen_mean=jnp.zeros((max_tracks, 8), jnp.float32),
+        frozen_cov=jnp.tile(jnp.eye(8)[None], (max_tracks, 1, 1)),
+        gallery=jnp.zeros((max_tracks, gallery_size, feat_dim), jnp.float32),
+        gallery_count=jnp.zeros((max_tracks,), jnp.int32),
     )
 
 
@@ -90,7 +103,9 @@ class Tracker:
         self._update = jax.jit(functools.partial(_update_impl, cfg))
 
     def init_state(self) -> TrackerState:
-        return init_tracker_state(self.cfg.max_tracks, self.feat_dim)
+        budget = self.cfg.nn_budget if self.cfg.use_gallery else 1
+        return init_tracker_state(self.cfg.max_tracks, self.feat_dim,
+                                  gallery_size=budget)
 
     def update(self, state: TrackerState, tlwh, conf, feats, det_valid):
         """One frame. tlwh (D,4), conf (D,), feats (D,F), det_valid (D,) bool.
@@ -99,12 +114,19 @@ class Tracker:
 
 
 def apply_gmc(state: TrackerState, affine: jnp.ndarray) -> TrackerState:
-    """Warp track positions by a 2x3 affine (camera-motion compensation)."""
+    """Warp track positions by a 2x3 affine (camera-motion compensation).
+    Also warps the last observations and the ORU frozen states so OCSort-class
+    recovery works under camera motion."""
     a, b = affine[:, :2], affine[:, 2]
-    xy = state.mean[:, :2] @ a.T + b
-    vxy = state.mean[:, 4:6] @ a.T
-    mean = state.mean.at[:, :2].set(xy).at[:, 4:6].set(vxy)
-    return state._replace(mean=mean)
+
+    def warp8(m):
+        xy = m[:, :2] @ a.T + b
+        vxy = m[:, 4:6] @ a.T
+        return m.at[:, :2].set(xy).at[:, 4:6].set(vxy)
+
+    last = state.last_obs.at[:, :2].set(state.last_obs[:, :2] @ a.T + b)
+    return state._replace(mean=warp8(state.mean), last_obs=last,
+                          frozen_mean=warp8(state.frozen_mean))
 
 
 def _update_impl(cfg: TrackerConfig, state: TrackerState,
@@ -127,11 +149,56 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
 
     # ---- stage 1: confirmed x dets, appearance + motion-blend, chi2 gate
     confirmed = state.status == CONFIRMED
-    app = appearance_cost(state.feat, feats)                     # (T, D)
+    if cfg.use_gallery:
+        # NN_BUDGET appearance gallery (deep_sort.yaml:10): min cosine
+        # distance over the last nn_budget stored features per track.
+        gn = state.gallery / jnp.maximum(jnp.linalg.norm(
+            state.gallery, axis=-1, keepdims=True), 1e-12)
+        dn_ = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        gsim = jnp.einsum("tbf,df->tbd", gn, dn_,
+                          preferred_element_type=jnp.float32)
+        budget = state.gallery.shape[1]
+        filled = jnp.arange(budget)[None, :] < jnp.minimum(
+            state.gallery_count, budget)[:, None]              # (T, B)
+        gdist = jnp.where(filled[:, :, None], 1.0 - gsim, jnp.inf)
+        app = jnp.min(gdist, axis=1)                            # (T, D)
+        app = jnp.where(state.gallery_count[:, None] > 0, app, 1.0)
+    else:
+        app = appearance_cost(state.feat, feats)                # (T, D)
     maha = jax.vmap(kalman_gating_distance, in_axes=(0, 0, None))(
         mean, cov, z_xyah)                                       # (T, D)
+    track_tlwh = _xyah_to_tlwh(mean[:, :4])
     lam = cfg.mc_lambda
-    cost1 = lam * app + (1.0 - lam) * (maha / CHI2_GATE_4DOF) * cfg.max_dist
+    if cfg.fuse_min:
+        # BoT-SORT fused cost: appearance distance halved and masked by BOTH
+        # the appearance threshold and box proximity, then fused with the IoU
+        # distance by elementwise min.
+        d_iou1 = 1.0 - iou_matrix(track_tlwh, tlwh)
+        emb_hat = jnp.where(
+            (app < cfg.fuse_theta_emb) & (d_iou1 < cfg.fuse_theta_prox),
+            0.5 * app, 1.0)
+        cost1 = jnp.minimum(d_iou1, emb_hat)
+    elif cfg.aw_scale > 0:
+        # DeepOCSort association: additive IoU-distance + adaptively-weighted
+        # appearance similarity bonus (paper form: C = -(IoU + w*sim); the
+        # adaptive weight grows where appearance is discriminative — measured
+        # by the gap between best and second-best similarity per track row
+        # and per detection column). Pairs outside the IoU gate are hard-
+        # rejected, matching the reference's post-assignment IoU filter.
+        sim = jnp.where(det_valid[None, :], 1.0 - app, 0.0)
+        row2 = jax.lax.top_k(sim, 2)[0]                     # (T, 2)
+        row_gap = row2[:, 0] - row2[:, 1]
+        simt = jnp.where(confirmed[:, None], sim, 0.0)
+        col2 = jax.lax.top_k(simt.T, 2)[0]                  # (D, 2)
+        col_gap = col2[:, 0] - col2[:, 1]
+        boost = 0.5 * (row_gap[:, None] + col_gap[None, :])
+        w_pair = 1.0 + cfg.aw_scale * jnp.clip(boost, 0.0, 1.0)
+        d_iou1 = 1.0 - iou_matrix(track_tlwh, tlwh)
+        cost1 = d_iou1 - cfg.aw_assoc * sim * w_pair
+        cost1 = jnp.where(d_iou1 > cfg.max_iou_distance, INF_COST, cost1)
+    else:
+        cost1 = lam * app + (1.0 - lam) * (maha / CHI2_GATE_4DOF) * cfg.max_dist
     if cfg.ocm_weight > 0:
         # OCSort observation-centric momentum: angle consistency between the
         # track's velocity and the track->detection direction.
@@ -159,7 +226,6 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
     iou_track = active & unmatched1 & (
         (state.status == TENTATIVE) | (state.time_since_update == 1)
     )
-    track_tlwh = _xyah_to_tlwh(mean[:, :4])
     cost2 = 1.0 - diou_matrix(track_tlwh, tlwh)
     match2 = gated_matches(cost2, iou_track, det_valid & ~det_taken1,
                            cfg.max_iou_distance, method=cfg.assignment)
@@ -177,14 +243,68 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
                                cfg.max_iou_distance, method=cfg.assignment)
         match = jnp.where(match >= 0, match, match3)
 
+    if cfg.ocr:
+        # OCSort observation-centric recovery: still-unmatched tracks try a
+        # plain-IoU association of their LAST OBSERVATION (not the drifted
+        # Kalman prediction) against the remaining detections — recovers
+        # tracks whose prediction wandered during an occlusion.
+        det_taken_ocr = jnp.zeros(det_valid.shape, bool).at[
+            jnp.clip(match, 0, det_valid.shape[0] - 1)
+        ].max(match >= 0)
+        ocr_track = active & (match < 0) & (state.hits > 0)
+        last_tlwh = _xyah_to_tlwh(state.last_obs)
+        cost_ocr = 1.0 - iou_matrix(last_tlwh, tlwh)
+        match_ocr = gated_matches(cost_ocr, ocr_track,
+                                  det_valid & ~det_taken_ocr,
+                                  cfg.max_iou_distance,
+                                  method=cfg.assignment)
+        match = jnp.where(match >= 0, match, match_ocr)
+
     matched = match >= 0
     det_idx = jnp.clip(match, 0, tlwh.shape[0] - 1)
 
     # ---- update matched tracks
-    umean, ucov = kalman_update(mean, cov, z_xyah[det_idx])
+    nsa_conf = conf[det_idx] if cfg.nsa else None
+    umean, ucov = kalman_update(mean, cov, z_xyah[det_idx], nsa_conf)
     mean = jnp.where(matched[:, None], umean, mean)
     cov = jnp.where(matched[:, None, None], ucov, cov)
+
+    if cfg.oru:
+        # OCSort observation-centric re-update: a track re-associated after
+        # `gap` missed frames restarts from its FROZEN state (at the last
+        # match) and replays predict+update along a virtual trajectory
+        # linearly interpolated from its last observation to the new one, so
+        # the velocity estimate is not poisoned by the blind predictions.
+        gap_in = state.time_since_update                     # misses so far
+        reacq = matched & (gap_in >= 1) & (state.hits > 0)
+        n_steps = (gap_in + 1).astype(jnp.float32)           # predicts since
+        box1 = state.last_obs                                # last match
+        box2 = z_xyah[det_idx]
+
+        def oru_body(i, mc):
+            m, c = mc
+            pm, pc = kalman_predict(m, c)
+            frac = jnp.minimum(i / n_steps, 1.0)[:, None]
+            virt = box1 + (box2 - box1) * frac
+            um, uc = kalman_update(pm, pc, virt)
+            live = reacq & (i <= n_steps)
+            return (jnp.where(live[:, None], um, m),
+                    jnp.where(live[:, None, None], uc, c))
+
+        omean, ocov = jax.lax.fori_loop(
+            1, cfg.max_age + 2, oru_body,
+            (state.frozen_mean, state.frozen_cov))
+        mean = jnp.where(reacq[:, None], omean, mean)
+        cov = jnp.where(reacq[:, None, None], ocov, cov)
+
     alpha = cfg.ema_alpha
+    if cfg.dynamic_ema:
+        # DeepOCSort dynamic appearance: low-confidence detections barely
+        # move the track's appearance model (trust -> 0 => alpha -> 1).
+        trust = jnp.clip(
+            (conf[det_idx] - cfg.min_confidence)
+            / max(1.0 - cfg.min_confidence, 1e-6), 0.0, 1.0)
+        alpha = alpha + (1.0 - alpha) * (1.0 - trust)[:, None]
     dfeat = feats[det_idx]
     dfeat = dfeat / jnp.maximum(
         jnp.linalg.norm(dfeat, axis=-1, keepdims=True), 1e-12)
@@ -192,6 +312,21 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
     new_feat = new_feat / jnp.maximum(
         jnp.linalg.norm(new_feat, axis=-1, keepdims=True), 1e-12)
     feat = jnp.where(matched[:, None], new_feat, state.feat)
+
+    # appearance gallery ring insert (NN_BUDGET role)
+    t_idx = jnp.arange(t_slots)
+    budget = state.gallery.shape[1]
+    ptr = state.gallery_count % budget
+    cur_row = state.gallery[t_idx, ptr]
+    gallery = state.gallery.at[t_idx, ptr].set(
+        jnp.where(matched[:, None], dfeat, cur_row))
+    gallery_count = jnp.where(matched, state.gallery_count + 1,
+                              state.gallery_count)
+
+    # ORU/OCR bookkeeping: observation + frozen state refresh on every match
+    last_obs = jnp.where(matched[:, None], z_xyah[det_idx], state.last_obs)
+    frozen_mean = jnp.where(matched[:, None], mean, state.frozen_mean)
+    frozen_cov = jnp.where(matched[:, None, None], cov, state.frozen_cov)
 
     hits = jnp.where(matched, state.hits + 1, state.hits)
     tsu = jnp.where(matched, 0, state.time_since_update + 1)
@@ -243,8 +378,17 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
     track_id = jnp.where(take, new_ids, track_id)
     next_id = state.next_id + n_new
 
+    last_obs = jnp.where(take[:, None], z_xyah[src], last_obs)
+    frozen_mean = jnp.where(take[:, None], imean, frozen_mean)
+    frozen_cov = jnp.where(take[:, None, None], icov, frozen_cov)
+    init_gal = jnp.zeros_like(gallery).at[:, 0, :].set(ifeat)
+    gallery = jnp.where(take[:, None, None], init_gal, gallery)
+    gallery_count = jnp.where(take, 1, gallery_count)
+
     new_state = TrackerState(mean, cov, feat, status, hits, tsu,
-                             track_id, next_id)
+                             track_id, next_id, last_obs,
+                             frozen_mean, frozen_cov,
+                             gallery, gallery_count)
     # outputs: confirmed tracks updated this frame (standard MOT output rule)
     out_valid = (status == CONFIRMED) & (tsu == 0)
     outputs = {

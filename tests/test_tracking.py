@@ -308,3 +308,170 @@ def test_ocm_velocity_consistency_prefers_forward_det():
     kept = boxes[valid & (ids == tid)]
     assert len(kept) == 1
     assert kept[0][0] + 10 > pred_cx  # matched the forward detection
+
+
+# ------------------------------------------------- per-method algorithms
+
+def test_ocsort_ocr_recovers_through_occlusion_where_sort_loses():
+    """OCSort's observation-centric recovery: a target that STOPS during a
+    10-frame occlusion reappears near its last observation. Plain SORT's
+    prediction has drifted far right (stale velocity) -> IoU gate fails ->
+    new ID. OCR matches the LAST OBSERVATION by IoU -> same ID."""
+    from reid_tpu.tracking.methods import method_config
+
+    def run(cfg):
+        tracker = Tracker(cfg, feat_dim=8)
+        state = tracker.init_state()
+        # rightward motion at 8 px/frame, then occluded 10 frames
+        for t in range(8):
+            state, out = tracker.update(
+                state, *_frame([(100 + 8 * t, 100, 20, 40)]))
+        tid = np.asarray(out["ids"])[np.asarray(out["valid"])][0]
+        for _ in range(10):
+            state, out = tracker.update(state, *_frame([]))
+        # reappears where it vanished (it stopped behind the occluder)
+        state, out = tracker.update(state, *_frame([(100 + 8 * 7, 100, 20, 40)]))
+        ids = np.asarray(out["ids"])[np.asarray(out["valid"])]
+        return tid, ids, state
+
+    oc = method_config("ocsort", max_tracks=8, max_dets=8, n_init=2,
+                       max_age=30)
+    tid, ids, state = run(oc)
+    assert list(ids) == [tid], "ocsort should recover the same id"
+
+    sort_like = method_config("ocsort", max_tracks=8, max_dets=8, n_init=2,
+                              max_age=30, oru=False, ocr=False)
+    tid2, ids2, _ = run(sort_like)
+    assert list(ids2) != [tid2], (
+        "without OCR the drifted prediction should not re-match")
+
+
+def test_ocsort_oru_rebuilds_velocity_after_gap():
+    """ORU: after re-association the velocity reflects the virtual trajectory
+    (→ ~0 for a target that stopped), not the stale pre-occlusion velocity."""
+    from reid_tpu.tracking.methods import method_config
+
+    cfg = method_config("ocsort", max_tracks=8, max_dets=8, n_init=2,
+                        max_age=30)
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    for t in range(8):
+        state, out = tracker.update(
+            state, *_frame([(100 + 8 * t, 100, 20, 40)]))
+    tid = np.asarray(out["ids"])[np.asarray(out["valid"])][0]
+    for _ in range(10):
+        state, out = tracker.update(state, *_frame([]))
+    state, out = tracker.update(state, *_frame([(100 + 8 * 7, 100, 20, 40)]))
+    slot = int(np.flatnonzero(np.asarray(state.track_id) == tid)[0])
+    vx = float(np.asarray(state.mean)[slot, 4])
+    assert abs(vx) < 2.0, f"ORU should re-estimate vx ~ 0, got {vx}"
+
+
+def test_nsa_kalman_confidence_scales_update():
+    """NSA: high-confidence measurements pull the posterior closer to the
+    measurement than low-confidence ones."""
+    z0 = jnp.asarray([10.0, 10.0, 0.5, 40.0])
+    mean, cov = kalman_initiate(z0)
+    mean, cov = kalman_predict(mean, cov)
+    z = jnp.asarray([20.0, 10.0, 0.5, 40.0])
+    hi, _ = kalman_update(mean, cov, z, confidence=jnp.asarray(0.99))
+    lo, _ = kalman_update(mean, cov, z, confidence=jnp.asarray(0.01))
+    plain, _ = kalman_update(mean, cov, z)
+    assert abs(float(hi[0]) - 20.0) < abs(float(lo[0]) - 20.0)
+    # conf ~ 0 approaches the unscaled-R update
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(plain), atol=0.2)
+
+
+def test_botsort_proximity_mask_blocks_distant_appearance_match():
+    """BoT-SORT fused cost: an appearance-identical detection FAR from the
+    track cannot steal the match (proximity mask), the near det wins even
+    with a different appearance."""
+    from reid_tpu.tracking.methods import method_config
+
+    cfg = method_config("botsort", max_tracks=8, max_dets=8, n_init=2)
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    feats = np.zeros((1, 8), np.float32)
+    feats[0, 0] = 1.0
+    for t in range(4):
+        state, out = tracker.update(
+            state, *_frame([(100 + 2 * t, 100, 20, 40)], feats=feats))
+    tid = np.asarray(out["ids"])[np.asarray(out["valid"])][0]
+    # near det, different appearance; far det, identical appearance
+    f2 = np.zeros((2, 8), np.float32)
+    f2[0, 1] = 1.0       # near: orthogonal appearance
+    f2[1, 0] = 1.0       # far: same appearance
+    state, out = tracker.update(
+        state, *_frame([(108, 100, 20, 40), (400, 300, 20, 40)], feats=f2))
+    valid = np.asarray(out["valid"])
+    ids = np.asarray(out["ids"])
+    boxes = np.asarray(out["tlwh"])
+    kept = boxes[valid & (ids == tid)]
+    assert len(kept) == 1 and abs(kept[0][0] - 108) < 3.0
+
+
+def test_deepocsort_dynamic_ema_scales_with_confidence():
+    """Dynamic appearance: a low-confidence match barely moves the track's
+    EMA feature; a high-confidence one moves it by (1-alpha)."""
+    from reid_tpu.tracking.methods import method_config
+
+    def feat_shift(det_conf):
+        cfg = method_config("deepocsort", max_tracks=8, max_dets=8, n_init=2,
+                            min_confidence=0.5)
+        tracker = Tracker(cfg, feat_dim=8)
+        state = tracker.init_state()
+        fa = np.zeros((1, 8), np.float32)
+        fa[0, 0] = 1.0
+        for t in range(3):
+            state, _ = tracker.update(
+                state, *_frame([(100 + 2 * t, 100, 20, 40)], feats=fa))
+        before = np.asarray(state.feat).copy()
+        # new det with a rotated appearance at given confidence
+        fb = np.zeros((8, 8), np.float32)
+        fb[0, 1] = 1.0
+        tlwh = jnp.asarray([[106.0, 100, 20, 40]] + [[0, 0, 0, 0]] * 7)
+        conf = jnp.asarray([det_conf] + [0.0] * 7)
+        valid = jnp.asarray([True] + [False] * 7)
+        state, _ = tracker.update(state, tlwh, conf, jnp.asarray(fb), valid)
+        slot = int(np.flatnonzero(np.asarray(state.status) > 0)[0])
+        return float(np.linalg.norm(np.asarray(state.feat)[slot]
+                                    - before[slot]))
+
+    assert feat_shift(0.99) > feat_shift(0.55) + 0.02
+
+
+def test_nn_budget_gallery_ring_and_min_distance():
+    """NN_BUDGET gallery (deep_sort.yaml:10): stores the last K features per
+    track (ring), appearance cost = min over the gallery — a det matching an
+    OLD appearance still scores well after the live appearance drifted."""
+    cfg = TrackerConfig(max_tracks=8, max_dets=8, n_init=2,
+                        use_gallery=True, nn_budget=4, max_dist=0.4,
+                        mc_lambda=1.0)
+    tracker = Tracker(cfg, feat_dim=8)
+    state = tracker.init_state()
+    # appearance rotates gradually from e0 toward e1 over 6 frames
+    for t in range(6):
+        theta = 0.15 * t
+        f = np.zeros((1, 8), np.float32)
+        f[0, 0], f[0, 1] = np.cos(theta), np.sin(theta)
+        state, out = tracker.update(
+            state, *_frame([(100 + 2 * t, 100, 20, 40)], feats=f))
+    tid = np.asarray(out["ids"])[np.asarray(out["valid"])][0]
+    slot = int(np.flatnonzero(np.asarray(state.track_id) == tid)[0])
+    assert int(np.asarray(state.gallery_count)[slot]) == 6  # ring wrapped (4)
+    # det with the ORIGINAL appearance e0: ring still holds recent feats only,
+    # but min-distance over the gallery must beat the single-EMA distance to
+    # the drifted live feature
+    gal = np.asarray(state.gallery)[slot]
+    # the ring holds the last 4 RAW features (thetas 0.30..0.75), not EMAs
+    theta_last = 0.15 * 5
+    e_last = np.zeros(8, np.float32)
+    e_last[0], e_last[1] = np.cos(theta_last), np.sin(theta_last)
+    gal_dists = 1.0 - (gal @ e_last) / np.maximum(
+        np.linalg.norm(gal, axis=1), 1e-12)
+    assert gal_dists.min() < 1e-5, "latest raw feature must be stored exactly"
+    ema_dist = 1.0 - float(np.asarray(state.feat)[slot] @ e_last)
+    assert ema_dist > 1e-3, "EMA is a blend, never any raw feature"
+    # min-over-gallery therefore beats the EMA for a det matching the latest
+    # raw appearance
+    assert gal_dists.min() < ema_dist

@@ -139,9 +139,11 @@ def test_export_tracking_chunk_artifact(tmp_path):
     # the serving boundary is flat arrays — the standard export pattern.
     from reid_tpu.tracking.tracker import TrackerState
 
+    n_fields = len(TrackerState._fields)
+
     def serving(*flat):
-        st = TrackerState(*flat[:8])
-        frames_, tlwh_, conf_, valid_ = flat[8:]
+        st = TrackerState(*flat[:n_fields])
+        frames_, tlwh_, conf_, valid_ = flat[n_fields:]
         new_st, out = run_chunk({}, {}, st, frames_, tlwh_, conf_, valid_)
         return tuple(new_st) + (out["tlwh"], out["ids"], out["valid"])
 
@@ -151,7 +153,8 @@ def test_export_tracking_chunk_artifact(tmp_path):
     loaded = load_serving_fn(p)
     want = serving(*flat_args)
     got = loaded(*flat_args)
-    np.testing.assert_allclose(np.asarray(got[8]), np.asarray(want[8]),
+    np.testing.assert_allclose(np.asarray(got[n_fields]),
+                               np.asarray(want[n_fields]),
                                rtol=1e-5, atol=1e-5)      # out tlwh
     np.testing.assert_array_equal(np.asarray(got[6]),
                                   np.asarray(want[6]))    # track ids
