@@ -233,32 +233,49 @@ def gan_main(argv=None):
 
 
 def track_main(argv=None):
-    """Ref track_yolov5.py (:352-392): detections file + frames -> MOT txt."""
+    """Ref track_yolov5.py (:78-392): one-command serve path —
+    video/frames/webcam in -> [detector ->] tracker -> MOT txt
+    [+ annotated video]. Detections may come from a MOT det file (pluggable
+    detector) or from the built-in CenterNetLite when none is given."""
     p = argparse.ArgumentParser("track")
-    p.add_argument("--detections", required=True,
-                   help="MOT-format det file (detector is pluggable)")
+    p.add_argument("--source", default="",
+                   help="video file | frame directory | webcam index "
+                        "(ref --source, track_yolov5.py:141-160)")
+    p.add_argument("--detections", default="",
+                   help="MOT-format det file; omit to run the built-in "
+                        "CenterNetLite detector on --source frames")
     p.add_argument("--frames_dir", default="",
-                   help="img1 directory; omit to track without appearance")
+                   help="alias for --source <frame directory>")
     p.add_argument("--ckpt", default="")
+    p.add_argument("--det_ckpt", default="",
+                   help="CenterNetLite detector checkpoint")
+    p.add_argument("--det_size", type=int, nargs=2, default=(288, 512),
+                   metavar=("H", "W"), help="detector input resolution")
     p.add_argument("--backbone", default="seres18")
     p.add_argument("--num_classes", type=int, default=751)
     p.add_argument("--tracking_method", default="strongsort",
                    choices=["strongsort", "deepocsort", "ocsort",
                             "bytetrack", "botsort"])
     p.add_argument("--save_txt", default="out.txt")
+    p.add_argument("--save_vid", default="",
+                   help="annotated output: .avi/.mp4 file or image directory "
+                        "(ref --save-vid, track_yolov5.py:286-333)")
     p.add_argument("--conf_thres", type=float, default=0.5)
     p.add_argument("--max_dets", type=int, default=64)
+    p.add_argument("--max_frames", type=int, default=0,
+                   help="stop after N frames (0 = all)")
     p.add_argument("--gt", default="",
                    help="MOT gt.txt: score the run with native CLEAR/IDF1 "
                         "metrics (TrackEval role) after tracking")
     args = p.parse_args(argv)
-
-    import glob
+    if not args.source and args.frames_dir:
+        args.source = args.frames_dir
+    if not args.source and not args.detections:
+        p.error("need --source and/or --detections")
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from PIL import Image
 
     from .config import TrackerConfig
     from .models import build_model
@@ -290,22 +307,72 @@ def track_main(argv=None):
     feat_dim = 512 + args.num_classes
     pipe = TrackingPipeline(cfg, embed_fn, variables["params"],
                             variables.get("batch_stats", {}), feat_dim)
-    dets = load_mot_detections(args.detections, cfg.max_dets,
-                               min_conf=args.conf_thres)
-    frames = sorted(glob.glob(os.path.join(args.frames_dir, "*.jpg"))) \
-        if args.frames_dir else []
-    n_frames = max(dets) if dets else 0
-    blank = np.zeros((64, 64, 3), np.uint8)
-    for f_idx in range(1, n_frames + 1):
-        tlwh, conf, valid = dets.get(
-            f_idx, (np.zeros((cfg.max_dets, 4), np.float32),
-                    np.zeros(cfg.max_dets, np.float32),
-                    np.zeros(cfg.max_dets, bool)))
-        if frames and f_idx <= len(frames):
-            frame = np.asarray(Image.open(frames[f_idx - 1]).convert("RGB"))
+
+    # ---- detections: MOT file, or the built-in CenterNetLite detector
+    dets = None
+    detect = None
+    if args.detections:
+        dets = load_mot_detections(args.detections, cfg.max_dets,
+                                   min_conf=args.conf_thres)
+    else:
+        from .models.detector import CenterNetLite, decode_detections
+
+        det_hw = tuple(args.det_size)
+        det_model = CenterNetLite()
+        dvars = jax.jit(lambda k, x: det_model.init(k, x, train=True))(
+            jax.random.PRNGKey(1), jnp.zeros((1, *det_hw, 3)))
+        if args.det_ckpt:
+            from .utils import restore_checkpoint
+            dvars = restore_checkpoint(args.det_ckpt, dvars)
+
+        @jax.jit
+        def _detect(v, frame):
+            img = frame.astype(jnp.float32) / 255.0
+            img = jax.image.resize(img, (*det_hw, 3), "bilinear")
+            out = det_model.apply(v, img[None], train=False)
+            tlwh, scores = decode_detections(out, max_dets=cfg.max_dets)
+            sx = frame.shape[1] / det_hw[1]
+            sy = frame.shape[0] / det_hw[0]
+            return tlwh[0] * jnp.asarray([sx, sy, sx, sy]), scores[0]
+
+        def detect(frame):
+            tlwh, conf = _detect(dvars, jnp.asarray(frame))
+            conf = np.asarray(conf)
+            return np.asarray(tlwh), conf, conf > 0.05
+
+    # ---- frame source (video / dir / webcam) or blanks for det-only runs
+    if args.source:
+        from .tracking.sources import iter_frames, source_fps
+        frame_iter = iter_frames(args.source, args.max_frames)
+        vid_fps = source_fps(args.source)
+    else:
+        n_frames = max(dets) if dets else 0
+        if args.max_frames:
+            n_frames = min(n_frames, args.max_frames)
+        blank = np.zeros((64, 64, 3), np.uint8)
+        frame_iter = ((i, blank) for i in range(1, n_frames + 1))
+        vid_fps = 30
+
+    writer = None
+    if args.save_vid:
+        from .tracking.annotate import AnnotatedVideoWriter
+        writer = AnnotatedVideoWriter(args.save_vid, fps=vid_fps)
+
+    empty = (np.zeros((cfg.max_dets, 4), np.float32),
+             np.zeros(cfg.max_dets, np.float32),
+             np.zeros(cfg.max_dets, bool))
+    for f_idx, frame in frame_iter:
+        if dets is not None:
+            tlwh, conf, valid = dets.get(f_idx, empty)
         else:
-            frame = blank
-        pipe.step(f_idx, frame, tlwh, conf, valid)
+            tlwh, conf, valid = detect(frame)
+        out = pipe.step(f_idx, frame, tlwh, conf, valid)
+        if writer is not None:
+            writer.write(frame, np.asarray(out["tlwh"]),
+                         np.asarray(out["ids"]), np.asarray(out["valid"]))
+    if writer is not None:
+        writer.close()
+        print(f"annotated output -> {args.save_vid}")
     rows = pipe.write(args.save_txt)
     print(f"{rows} rows -> {args.save_txt}; "
           f"timing: {pipe.timing_summary()}")

@@ -147,3 +147,57 @@ def test_track_cli_with_native_scoring(tmp_path):
     assert m["IDSW"] == 0
     assert m["MOTA"] > 70.0  # first frames unconfirmed -> a few FNs
     assert m["IDF1"] > 80.0
+
+
+def test_track_cli_source_dir_save_vid(tmp_path):
+    """Serve path: frame-directory source + MOT dets -> MOT txt + annotated
+    frames (ref track_yolov5.py --source/--save-vid)."""
+    from PIL import Image
+    import numpy as np
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    rng = np.random.default_rng(0)
+    det_rows = []
+    for f in range(1, 9):
+        arr = rng.integers(0, 40, (120, 160, 3)).astype(np.uint8)
+        for j, col in enumerate([(240, 50, 50), (50, 50, 240)]):
+            x, y = 10 + 5 * f + 60 * j, 30 + 15 * j
+            arr[y:y + 40, x:x + 16] = col
+            det_rows.append(f"{f},-1,{x},{y},16,40,0.9")
+        Image.fromarray(arr).save(frames_dir / f"{f:06d}.jpg")
+    det = tmp_path / "det.txt"
+    det.write_text("\n".join(det_rows) + "\n")
+    out = tmp_path / "out.txt"
+    vid = tmp_path / "annotated"
+
+    from reid_tpu.cli import track_main
+    rows = track_main(["--source", str(frames_dir), "--detections", str(det),
+                       "--save_txt", str(out), "--save_vid", str(vid),
+                       "--num_classes", "8", "--max_dets", "8"])
+    assert rows > 0
+    import os
+    annotated = sorted(os.listdir(vid))
+    assert len(annotated) == 8 and annotated[0] == "000001.jpg"
+
+
+def test_track_cli_builtin_detector(tmp_path):
+    """Serve path with NO --detections: the built-in CenterNetLite detector
+    runs on the source frames (untrained -> usually no confirmed tracks, but
+    the full video->detect->track->txt path must execute)."""
+    from PIL import Image
+    import numpy as np
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for f in range(1, 4):
+        arr = rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(frames_dir / f"{f:06d}.jpg")
+    out = tmp_path / "out.txt"
+
+    from reid_tpu.cli import track_main
+    rows = track_main(["--source", str(frames_dir), "--save_txt", str(out),
+                       "--num_classes", "8", "--max_dets", "8",
+                       "--det_size", "96", "128"])
+    assert rows >= 0 and out.exists()
