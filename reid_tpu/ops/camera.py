@@ -65,9 +65,10 @@ def smooth_tracklets(
 ) -> jnp.ndarray:
     """Blend each embedding with its tracklet mean: a*self + (1-a)*mean.
 
-    Ref inference_utils.py:18-27 (alpha=0.1). `tracklet_ids` < 0 or
-    `valid`==False rows pass through unchanged (the reference's try/except
-    skip). Implemented with segment sums — no Python loop over tracklets.
+    Ref inference_utils.py:18-27 (alpha=0.1; the reference does NOT
+    renormalize after blending). `tracklet_ids` < 0 or `valid`==False rows
+    pass through unchanged (the reference's try/except skip). Implemented
+    with segment sums — no Python loop over tracklets.
     """
     x = embeddings.astype(jnp.float32)
     ids = tracklet_ids.astype(jnp.int32)
@@ -80,5 +81,4 @@ def smooth_tracklets(
     counts = jax.ops.segment_sum(w, safe_ids, num_segments=num_seg)
     means = sums / jnp.maximum(counts, 1.0)
     blended = alpha * x + (1.0 - alpha) * means[safe_ids]
-    blended = _l2n(blended)
     return jnp.where(valid[:, None], blended, x)

@@ -45,10 +45,13 @@ def compute_jaccard_distance(
     feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
 
     k_half = int(round(k1 / 2))
-    _, initial_rank = topk_neighbors(feats, feats, k=k1 + 1)
+    # faiss search(x, k1) returns k1 columns with self first; the reference's
+    # k_reciprocal_neigh slices [:k1+1] of those k1 columns (a no-op clamp),
+    # so the forward set is self + (k1-1) neighbors — NOT k1+1 columns.
+    _, initial_rank = topk_neighbors(feats, feats, k=k1)
 
     # k-reciprocal masks: R[i,j] = j in top(i) and i in top(j)  (ref :142-146)
-    f_full = _topk_mask(initial_rank[:, : k1 + 1], n)
+    f_full = _topk_mask(initial_rank, n)
     f_half = _topk_mask(initial_rank[:, : k_half + 1], n)
     r_full = f_full & f_full.T
     r_half = f_half & f_half.T
@@ -136,9 +139,10 @@ def compute_jaccard_distance_sharded(
     sim_all = jnp.dot(feats, feats.T, preferred_element_type=jnp.float32)
     simm = jnp.where(valid[None, :], sim_all, -jnp.inf)
     simm = jnp.where(jnp.eye(n, dtype=bool), 2.0, simm)
-    _, initial_rank = jax.lax.top_k(simm, k1 + 1)
+    # k1 columns incl. self — the reference's faiss convention (see above)
+    _, initial_rank = jax.lax.top_k(simm, k1)
 
-    f_full = _topk_mask(initial_rank[:, : k1 + 1], n) & valid[None, :]
+    f_full = _topk_mask(initial_rank, n) & valid[None, :]
     f_full = f_full | jnp.eye(n, dtype=bool)
     f_half = _topk_mask(initial_rank[:, : k_half + 1], n) & valid[None, :]
     f_half = f_half | jnp.eye(n, dtype=bool)

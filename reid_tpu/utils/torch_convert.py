@@ -94,6 +94,89 @@ def convert_resnet18_ibn(
     return out
 
 
+def convert_seres18_full(
+    state_dict: Mapping[str, Any], variables: Dict
+) -> Dict:
+    """Merge a FULL reference `SERse18_IBN` checkpoint (the format of the
+    reference's `cnn_net_checkpoint_*.pt`, ref SERes18_IBN.py:186-277) into
+    SERes18IBN variables — trunk + SE gates + GeM p + BNNeck + classifier +
+    cam_bias, i.e. end-to-end weight parity, not just the trunk.
+
+    Reference state_dict naming:
+      conv0.weight / bn0.*                       (stem)
+      basicBlockXY.block_pre.{conv1,bn1[.IN/.BN],conv2,bn2}.*
+      basicBlockXY.block_post.{conv,bn}.*        (downsample)
+      basicBlockXY.seblock.{fc1,fc2}.weight      (fc1 1x1 conv, fc2 linear)
+      avgpooling.p / bnneck.* / classifier.0.weight / cam_bias
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def bn(prefix_t, flax_path):
+        if prefix_t + ".weight" not in sd:
+            return
+        _set(params, flax_path + ("scale",), sd[prefix_t + ".weight"])
+        _set(params, flax_path + ("bias",), sd[prefix_t + ".bias"])
+        _set(stats, flax_path + ("mean",), sd[prefix_t + ".running_mean"])
+        _set(stats, flax_path + ("var",), sd[prefix_t + ".running_var"])
+
+    _set(params, ("conv0", "kernel"), _conv(sd["conv0.weight"]))
+    bn("bn0", ("bn0",))
+
+    for stage in range(1, 5):
+        for blk in range(1, 3):
+            t = f"basicBlock{stage}{blk}"
+            f = f"block{stage}{blk}"
+            pre = f"{t}.block_pre"
+            _set(params, (f, "conv1", "kernel"),
+                 _conv(sd[f"{pre}.conv1.weight"]))
+            _set(params, (f, "conv2", "kernel"),
+                 _conv(sd[f"{pre}.conv2.weight"]))
+            if f"{pre}.bn1.IN.weight" in sd:
+                _set(params, (f, "bn1", "IN", "scale"),
+                     sd[f"{pre}.bn1.IN.weight"])
+                _set(params, (f, "bn1", "IN", "bias"),
+                     sd[f"{pre}.bn1.IN.bias"])
+                bn(f"{pre}.bn1.BN", (f, "bn1", "BN"))
+            else:
+                bn(f"{pre}.bn1", (f, "bn1"))
+            bn(f"{pre}.bn2", (f, "bn2"))
+            if f"{t}.block_post.conv.weight" in sd:
+                _set(params, (f, "down_conv", "kernel"),
+                     _conv(sd[f"{t}.block_post.conv.weight"]))
+                bn(f"{t}.block_post.bn", (f, "down_bn"))
+            # SE gate: fc1 is a 1x1 conv (mip, C, 1, 1) -> Dense (C, mip);
+            # fc2 is a Linear (C, mip) -> Dense (mip, C)
+            if f"{t}.seblock.fc1.weight" in sd:
+                w1 = sd[f"{t}.seblock.fc1.weight"]
+                if w1.ndim == 4:
+                    w1 = w1[:, :, 0, 0]
+                _set(params, (f, "seblock", "fc1", "kernel"), w1.T)
+                _set(params, (f, "seblock", "fc2", "kernel"),
+                     sd[f"{t}.seblock.fc2.weight"].T)
+
+    if "avgpooling.p" in sd:
+        _set(params, ("gem", "p"), sd["avgpooling.p"].reshape(()))
+    # BNNeck: reference bias is frozen at 0 (weights_init_kaiming), matching
+    # our use_bias=False BatchNorm.
+    _set(params, ("bnneck", "scale"), sd["bnneck.weight"])
+    _set(stats, ("bnneck", "mean"), sd["bnneck.running_mean"])
+    _set(stats, ("bnneck", "var"), sd["bnneck.running_var"])
+    if "classifier.0.weight" in sd:
+        _set(params, ("classifier", "kernel"), sd["classifier.0.weight"].T)
+    if "cam_bias" in sd:
+        _set(params, ("cam_bias",), sd["cam_bias"])
+
+    out = dict(variables)
+    out["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+    out["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    return out
+
+
 def convert_osnet(state_dict: Mapping[str, Any], variables: Dict) -> Dict:
     """Merge a torchreid-layout OSNet state_dict into reid_tpu OSNet
     variables (the reference's gdown-pretrained osnet_x1_0 trunk,

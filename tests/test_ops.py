@@ -56,7 +56,9 @@ def _oracle_jaccard(feats, k1=20, k2=6):
     N = feats.shape[0]
     feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
     d2 = ((feats[:, None] - feats[None]) ** 2).sum(-1)
-    initial_rank = np.argsort(d2, axis=1)
+    # faiss search(x, k1) returns k1 columns (self first); the [:k+1] slice
+    # in k_reciprocal_neigh is a no-op clamp at k == k1
+    initial_rank = np.argsort(d2, axis=1)[:, :k1]
 
     def k_recip(i, k):
         fwd = initial_rank[i, : k + 1]
@@ -140,13 +142,14 @@ def test_smooth_tracklets(rng):
     out = np.asarray(smooth_tracklets(jnp.asarray(x), jnp.asarray(ids)))
     # invalid row unchanged
     np.testing.assert_allclose(out[5], x[5], atol=1e-6)
-    # smoothed rows are normalized
-    np.testing.assert_allclose(np.linalg.norm(out[:5], axis=1), 1.0, atol=1e-5)
+    # blend semantics: 0.1*self + 0.9*tracklet-mean, NO renormalization
+    # (ref inference_utils.py:18-27)
+    np.testing.assert_allclose(out[0], 0.1 * x[0] + 0.9 * x[:3].mean(0),
+                               rtol=1e-5, atol=1e-6)
     # same-tracklet rows move closer together
     def spread(v):
         return np.linalg.norm(v - v.mean(0), axis=1).mean()
-    xn = x[:3] / np.linalg.norm(x[:3], axis=1, keepdims=True)
-    assert spread(out[:3]) < spread(xn)
+    assert spread(out[:3]) < spread(x[:3])
 
 
 def test_kmeans_separates_blobs(rng):

@@ -132,3 +132,134 @@ def test_trunk_parity_torch_vs_flax(rng):
     # and the discrepancy is small in relative terms
     rel = np.abs(flax_trunk - want).mean() / (np.abs(want).mean() + 1e-9)
     assert rel < 1e-3, rel
+
+
+# ---------------------------------------------------- FULL-model parity
+
+class TorchGeM(tnn.Module):
+    """Ref attention_pooling.py:49-66."""
+
+    def __init__(self, p=3.0, eps=1e-6):
+        super().__init__()
+        self.p = tnn.Parameter(torch.ones(1) * p)
+        self.eps = eps
+
+    def forward(self, x):
+        return x.clamp(min=self.eps).pow(self.p).mean(
+            (2, 3), keepdim=True).pow(1.0 / self.p)
+
+
+class TorchSEBlock(tnn.Module):
+    """Ref SERes18_IBN.py:13-41 (executed path: no BN, fc1 conv + fc2 linear,
+    both bias-free)."""
+
+    def __init__(self, c_in):
+        super().__init__()
+        mip = max(8, c_in // 16)
+        self.fc1 = tnn.Conv2d(c_in, mip, 1, bias=False)
+        self.fc2 = tnn.Linear(mip, c_in, bias=False)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.fc1(s).squeeze(-1).squeeze(-1)
+        s = torch.relu(s)
+        s = self.fc2(s)
+        return torch.sigmoid(s)[:, :, None, None]
+
+
+class TorchSEBasicBlock(tnn.Module):
+    """Ref SERes18_IBN.py:96-128 — reference attribute/state-dict naming."""
+
+    def __init__(self, block, dim):
+        super().__init__()
+        from collections import OrderedDict
+        self.block_pre = tnn.Sequential(OrderedDict([
+            ("conv1", block.conv1), ("bn1", block.bn1), ("relu", block.relu),
+            ("conv2", block.conv2), ("bn2", block.bn2)]))
+        self.block_post = None
+        if block.downsample is not None:
+            self.block_post = tnn.Sequential(OrderedDict([
+                ("conv", block.downsample[0]), ("bn", block.downsample[1])]))
+        self.seblock = TorchSEBlock(dim)
+
+    def forward(self, x):
+        branch = x
+        y = self.block_pre(x)
+        y = self.seblock(y) * y
+        if self.block_post is not None:
+            branch = self.block_post(branch)
+        return torch.relu(y + branch)
+
+
+class TorchSERes18Full(tnn.Module):
+    """Torch mirror of the FULL ref SERse18_IBN (:186-277): trunk + SE +
+    GeM + frozen-bias BNNeck + bias-free classifier + cam_bias."""
+
+    def __init__(self, num_class=5, num_cams=3, cam_factor=1.5):
+        super().__init__()
+        m = TorchResNet18IBN()
+        self.conv0 = m.conv1
+        self.bn0 = m.bn1
+        self.pooling0 = m.maxpool
+        dims = (64, 64, 128, 128, 256, 256, 512, 512)
+        blocks = [m.layer1[0], m.layer1[1], m.layer2[0], m.layer2[1],
+                  m.layer3[0], m.layer3[1], m.layer4[0], m.layer4[1]]
+        for i, (b, d) in enumerate(zip(blocks, dims)):
+            setattr(self, f"basicBlock{i // 2 + 1}{i % 2 + 1}",
+                    TorchSEBasicBlock(b, d))
+        self.avgpooling = TorchGeM(p=2.7)
+        self.bnneck = tnn.BatchNorm1d(512)
+        with torch.no_grad():
+            self.bnneck.bias.zero_()          # frozen at 0 (ref :236-239)
+        self.classifier = tnn.Sequential(tnn.Linear(512, num_class,
+                                                    bias=False))
+        self.cam_bias = tnn.Parameter(torch.randn(num_cams, 512) * 0.02)
+        self.cam_factor = cam_factor
+
+    def forward(self, x, cam=None):
+        x = self.pooling0(self.bn0(self.conv0(x)))   # no relu (ref :253)
+        for s in range(1, 5):
+            for b in range(1, 3):
+                x = getattr(self, f"basicBlock{s}{b}")(x)
+        feature = self.avgpooling(x).flatten(1)
+        x_normed = self.bnneck(feature)
+        if cam is not None:
+            x_normed = x_normed + self.cam_factor * self.cam_bias[cam]
+        return x_normed, self.classifier(x_normed)
+
+
+def test_full_model_parity_torch_vs_flax(rng):
+    """END-TO-END parity: eval (bnneck_feat, logits) of the full reference
+    model (incl. SE gates, GeM p, BNNeck, cam bias, classifier) vs the flax
+    model with a converted reference-format checkpoint."""
+    from reid_tpu.utils.torch_convert import convert_seres18_full
+
+    tm = TorchSERes18Full(num_class=5, num_cams=3, cam_factor=1.5).eval()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, (tnn.BatchNorm2d, tnn.BatchNorm1d)):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.8, 1.2)
+        tm.bnneck.bias.zero_()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    fm = SERes18IBN(num_classes=5, num_cams=3, cam_factor=1.5)
+    x = rng.normal(size=(2, 64, 32, 3)).astype(np.float32)
+    cams = np.asarray([0, 2])
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    variables = {"params": jax.device_get(variables["params"]),
+                 "batch_stats": jax.device_get(variables["batch_stats"])}
+    converted = convert_seres18_full(sd, variables)
+
+    with torch.no_grad():
+        want_feat, want_logits = tm(
+            torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+            cam=torch.tensor(cams))
+    got_feat, got_logits = fm.apply(converted, jnp.asarray(x),
+                                    cam=jnp.asarray(cams), train=False)
+    for got, want in ((got_feat, want_feat.numpy()),
+                      (got_logits, want_logits.numpy())):
+        got = np.asarray(got)
+        rel = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+        assert rel < 1e-3, rel
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
