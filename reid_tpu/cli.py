@@ -182,54 +182,115 @@ def video_main(argv=None):
 
 
 def gan_main(argv=None):
-    """Ref gan/synthetic_main.py main (:454-506)."""
+    """Ref gan/synthetic_main.py main (:454-506): DCGAN per appearance
+    group (--groups, k-means split, one EMA + checkpoint per group) or
+    VAE-GAN (--vae [--wasserstein]); then sample synthetic images."""
     p = argparse.ArgumentParser("synthetic_main")
     p.add_argument("--root", default="data")
     p.add_argument("--bs", type=int, default=64)
     p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--nz", type=int, default=100)
-    p.add_argument("--groups", type=int, default=1)
-    p.add_argument("--n_images", type=int, default=1000)
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--ndf", type=int, default=64)
+    p.add_argument("--groups", type=int, default=1,
+                   help="k-means appearance groups (ref --k)")
+    p.add_argument("--vae", action="store_true",
+                   help="train the VAE-GAN instead of DCGAN (ref --vae)")
+    p.add_argument("--wasserstein", action="store_true",
+                   help="Wasserstein D + gradient penalty (ref --Wassertein "
+                        "--gp)")
+    p.add_argument("--n_images", type=int, default=1000,
+                   help="synthetic images to sample (ref --instances)")
+    p.add_argument("--ckpt_dir", default="checkpoint",
+                   help="per-group generator checkpoints (ref checkpoint/)")
     p.add_argument("--out", default="synthetic_images")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
     from .data import Market1501, ReIDDataset
-    from .gan import (Discriminator, Generator, create_gan_state,
-                      generate_images, make_dcgan_steps)
-    from .ops import kmeans
+    from .gan import (generate_group_images, get_groups, sample_vaegan,
+                      train_gan_groups, train_vaegan)
 
     raw = Market1501(args.root)
     ds = ReIDDataset(raw.train + raw.gallery, raw.num_train_pids, 128, 64)
-    gen = Generator(nz=args.nz)
-    disc = Discriminator()
-    state, g_tx, d_tx = create_gan_state(jax.random.PRNGKey(0), gen, disc,
-                                         nz=args.nz)
-    step = make_dcgan_steps(gen, disc, g_tx, d_tx, nz=args.nz)
+    images = np.stack([ds.load_image(i) for i in range(len(ds))])
+    images = images.astype(np.float32) / 127.5 - 1.0
 
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(1)
-    for epoch in range(args.epochs):
-        order = rng.permutation(len(ds))
-        for s in range(0, len(order) - args.bs + 1, args.bs):
-            imgs = np.stack([ds.load_image(int(i))
-                             for i in order[s:s + args.bs]])
-            real = jnp.asarray(imgs, jnp.float32) / 127.5 - 1.0
-            key, k = jax.random.split(key)
-            state, metrics = step(state, real, k)
-        print(f"epoch {epoch}: d={float(metrics['d_loss']):.3f} "
-              f"g={float(metrics['g_loss']):.3f}", flush=True)
+    if args.vae:
+        vae, state = train_vaegan(images, epochs=args.epochs,
+                                  batch_size=args.bs, lr=args.lr,
+                                  wasserstein=args.wasserstein,
+                                  seed=args.seed)
+        imgs = sample_vaegan(vae, state, args.n_images)
+    else:
+        groups = None
+        if args.groups > 1:
+            groups = get_groups(images, args.groups)
+            print("group sizes:", np.bincount(groups, minlength=args.groups))
+        _, group_states = train_gan_groups(
+            images, groups, k=args.groups, epochs=args.epochs,
+            batch_size=args.bs, nz=args.nz, ngf=args.ngf, ndf=args.ndf,
+            lr=args.lr, seed=args.seed, checkpoint_dir=args.ckpt_dir)
+        per_group = (args.n_images + args.groups - 1) // args.groups
+        imgs = generate_group_images(group_states, per_group, nz=args.nz,
+                                     ngf=args.ngf)[: args.n_images]
 
     os.makedirs(args.out, exist_ok=True)
-    imgs = generate_images(gen, state, jax.random.PRNGKey(2), args.n_images,
-                           nz=args.nz)
     for i, im in enumerate(((imgs + 1) * 127.5).clip(0, 255).astype("uint8")):
         Image.fromarray(im).save(os.path.join(args.out, f"gen_{i:05d}.jpg"))
     print(f"wrote {len(imgs)} images to {args.out}")
+
+
+def lsro_main(argv=None):
+    """Ref gan/train_baseline.py (:214-343): baseline classifier trained on
+    real + synthetic (gen_*) images with the LSRO uniform-label loss."""
+    p = argparse.ArgumentParser("train_baseline")
+    p.add_argument("--root", default="data")
+    p.add_argument("--gen_dir", required=True,
+                   help="directory of generated gen_*.jpg images "
+                        "(ref dcganDataset gen_0000 flags)")
+    p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=25)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--backbone", default="baseline")
+    p.add_argument("--ckpt", default="",
+                   help="save the trained baseline here")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import glob
+
+    import numpy as np
+    from PIL import Image
+
+    from .data import Market1501, ReIDDataset
+    from .gan import train_lsro_baseline
+
+    raw = Market1501(args.root)
+    ds = ReIDDataset(raw.train, raw.num_train_pids, 128, 64)
+    real = np.stack([ds.load_image(i) for i in range(len(ds))])
+    real = real.astype(np.float32) / 127.5 - 1.0
+
+    gen_files = sorted(glob.glob(os.path.join(args.gen_dir, "gen_*")))
+    if not gen_files:
+        p.error(f"no gen_* images under {args.gen_dir}")
+    gen = np.stack([
+        np.asarray(Image.open(f).convert("RGB").resize((64, 128)))
+        for f in gen_files]).astype(np.float32) / 127.5 - 1.0
+
+    state, history = train_lsro_baseline(
+        real, ds.labels, gen, num_classes=raw.num_train_pids,
+        epochs=args.epochs, batch_size=args.bs, lr=args.lr,
+        backbone=args.backbone, seed=args.seed)
+    if args.ckpt:
+        from .utils import save_checkpoint
+        save_checkpoint(args.ckpt, state)
+    print(f"final: loss={history[-1]['loss']:.4f} acc={history[-1]['acc']:.4f}")
+    return state, history
 
 
 def track_main(argv=None):

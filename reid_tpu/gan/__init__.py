@@ -19,3 +19,11 @@ from .train import (
     make_dcgan_steps,
     make_vaegan_steps,
 )
+from .driver import (
+    generate_group_images,
+    get_groups,
+    sample_vaegan,
+    train_gan_groups,
+    train_lsro_baseline,
+    train_vaegan,
+)

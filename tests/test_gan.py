@@ -108,3 +108,79 @@ def test_lsro_loss():
     real = float(lsro_loss(logits, labels, jnp.asarray([0, 0])))
     mixed = float(lsro_loss(logits, labels, jnp.asarray([0, 1])))
     assert mixed > real
+
+
+# ---------------------------------------------------------------------------
+# drivers (ref synthetic_main.py:279-397, train_baseline.py:214-303)
+# ---------------------------------------------------------------------------
+
+def _toy_images(rng, n=16):
+    """Two visually distinct appearance groups: dark-red vs bright-blue."""
+    imgs = np.zeros((n, 128, 64, 3), np.float32)
+    imgs[: n // 2, :, :, 0] = 0.8     # group A: red
+    imgs[n // 2:, :, :, 2] = -0.8     # group B: blue
+    imgs += rng.normal(0, 0.05, imgs.shape).astype(np.float32)
+    return np.clip(imgs, -1, 1)
+
+
+def test_get_groups_separates_appearance(rng):
+    from reid_tpu.gan import get_groups
+
+    imgs = _toy_images(rng, n=16)
+    g = get_groups(imgs, k=2)
+    assert g.shape == (16,)
+    # each color block lands in one cluster, the two blocks differ
+    assert len(set(g[:8])) == 1 and len(set(g[8:])) == 1
+    assert g[0] != g[8]
+
+
+def test_train_gan_groups_per_group_checkpoints(rng, tmp_path):
+    from reid_tpu.gan import (generate_group_images, get_groups,
+                              train_gan_groups)
+
+    imgs = _toy_images(rng, n=24)
+    groups = get_groups(imgs, k=2)
+    logs = []
+    final, per_group = train_gan_groups(
+        imgs, groups, k=2, epochs=1, batch_size=4, nz=8, ngf=4, ndf=4,
+        checkpoint_dir=str(tmp_path), log_fn=logs.append)
+    assert len(per_group) == 2
+    # one checkpoint per group (ref Generate_model_trained_group{g}.pt)
+    assert (tmp_path / "gan_group0").exists()
+    assert (tmp_path / "gan_group1").exists()
+    # per-group EMA shadows diverge (fresh EMA per group, trained on
+    # different data): 3 batches/group -> at least one G update each
+    diffs = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree_util.tree_leaves(per_group[0].ema_params),
+                             jax.tree_util.tree_leaves(per_group[1].ema_params))]
+    assert any(diffs)
+    imgs_out = generate_group_images(per_group, 2, nz=8, ngf=4)
+    assert imgs_out.shape == (4, 128, 64, 3)
+    assert any("group 1" in m for m in logs)
+
+
+def test_train_vaegan_driver(rng):
+    from reid_tpu.gan import sample_vaegan, train_vaegan
+
+    imgs = _toy_images(rng, n=8)
+    vae, state = train_vaegan(imgs, epochs=1, batch_size=4, zdim=8,
+                              wasserstein=False, log_fn=lambda *_: None)
+    out = sample_vaegan(vae, state, 3, zdim=8, batch=4)
+    assert out.shape == (3, 128, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_train_lsro_baseline(rng):
+    from reid_tpu.gan import train_lsro_baseline
+
+    real = _toy_images(rng, n=8)
+    labels = np.asarray([0] * 4 + [1] * 4)
+    gen = rng.uniform(-1, 1, (4, 128, 64, 3)).astype(np.float32)
+    state, hist = train_lsro_baseline(
+        real, labels, gen, num_classes=2, epochs=2, batch_size=4,
+        lr=1e-2, log_fn=lambda *_: None)
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["loss"])
+    # accuracy counts real samples only -> within [0, 1]
+    assert 0.0 <= hist[-1]["acc"] <= 1.0
+    assert "params" in state and "batch_stats" in state
