@@ -44,6 +44,10 @@ def _base_cfg(args):
             epsilon=getattr(args, "epsilon", 0.0),
             tao=getattr(args, "temperature", 1.0),
             xbm=bool(getattr(args, "xbm", False)),
+            # SIE XBM trainer gates at epoch > 10, CNN at > 25
+            # (ref image_reid_train_xbm.py:167 vs :88)
+            xbm_start_epoch=10 if getattr(args, "backbone", "") in
+            ("vit", "swin_v1", "swin_v2") else 25,
         ),
         train=TrainConfig(
             batch_size=getattr(args, "bs", 64),
@@ -81,6 +85,9 @@ def train_main(argv=None):
     p.add_argument("--target_root", default="data")
     p.add_argument("--eps", type=float, default=0.55)
     p.add_argument("--ckpt", default="")
+    p.add_argument("--export", default="",
+                   help="write the StableHLO serving artifact here after "
+                        "training (ref to_onnx, train_prepare.py:14-47)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -103,6 +110,11 @@ def train_main(argv=None):
         records, centroids, k = produce_pseudo_data(state, target, cfg)
         state, losses = train_continual(cfg, state, dataset, records,
                                         centroids, k)
+    if args.export:
+        from .eval.serving import export_reid_artifact
+        export_reid_artifact(state, args.export, cfg.data.height,
+                             cfg.data.width)
+        print(f"serving artifact -> {args.export}")
     print("training complete")
     return state
 
@@ -114,32 +126,44 @@ def inference_main(argv=None):
     p.add_argument("--dataset", default="market1501",
                    choices=["market1501", "dukemtmc", "veri"])
     p.add_argument("--backbone", default="seres18")
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--artifact", default="",
+                   help="StableHLO serving artifact: run checkpoint-free "
+                        "from the exported embed step (ref --onnx, "
+                        "image_reid_inference.py:239)")
     p.add_argument("--bs", type=int, default=64)
     p.add_argument("--no-rerank", action="store_true")
     p.add_argument("--eps", type=float, default=0.55)
     p.add_argument("--attributes_mat", default="")
     args = p.parse_args(argv)
+    if not args.ckpt and not args.artifact:
+        p.error("need --ckpt or --artifact")
 
     import jax
     import numpy as np
 
     from .data import ReIDDataset, build_dataset
     from .eval.inference import run_inference
-    from .models import build_model
-    from .train.state import create_train_state
-    from .utils import restore_checkpoint
 
     raw = build_dataset(args.dataset, args.root)
     cfg = _base_cfg(args)
     cfg = cfg.replace(model=cfg.model.__class__(
         **{**cfg.model.__dict__, "num_classes": raw.num_train_pids}))
-    model = build_model(cfg.model.backbone, num_classes=raw.num_train_pids,
-                        num_cams=cfg.model.num_cams)
-    state = create_train_state(jax.random.PRNGKey(0), model, cfg, 1,
-                               input_shape=(2, cfg.data.height,
-                                            cfg.data.width, 3))
-    state = restore_checkpoint(args.ckpt, state)
+    state = embed_fn = None
+    if args.artifact:
+        from .eval.serving import load_serving_fn
+        embed_fn = load_serving_fn(args.artifact)
+    else:
+        from .models import build_model
+        from .train.state import create_train_state
+        from .utils import restore_checkpoint
+        model = build_model(cfg.model.backbone,
+                            num_classes=raw.num_train_pids,
+                            num_cams=cfg.model.num_cams)
+        state = create_train_state(jax.random.PRNGKey(0), model, cfg, 1,
+                                   input_shape=(2, cfg.data.height,
+                                                cfg.data.width, 3))
+        state = restore_checkpoint(args.ckpt, state)
 
     query = ReIDDataset(raw.query, raw.num_train_pids, cfg.data.height,
                         cfg.data.width)
@@ -153,7 +177,8 @@ def inference_main(argv=None):
         attribute_dist = get_attribute_dist(ids, attrs, pids)
     cmc, mAP = run_inference(state, query, gallery, cfg,
                              rerank=not args.no_rerank,
-                             attribute_dist=attribute_dist)
+                             attribute_dist=attribute_dist,
+                             embed_fn=embed_fn)
     return cmc, mAP
 
 

@@ -45,7 +45,11 @@ class LossConfig:
     use_ce: bool = False               # HybridLoss omits plain CE; Weighted adds it
     xbm: bool = False
     xbm_size_mult: int = 4             # memory K = mult * batch (ref XBM.py usage)
-    xbm_start_epoch: int = 25          # ref image_reid_train_xbm.py:88
+    # XBM warm-up gate: the plain CNN XBM trainer starts the memory at
+    # epoch > 25 (ref image_reid_train_xbm.py:88); the SIE (side-info
+    # transformer) XBM trainer starts at epoch > 10 (ref :167). The CLI sets
+    # 10 for vit/swin backbones.
+    xbm_start_epoch: int = 25
 
 
 @dataclasses.dataclass(frozen=True)

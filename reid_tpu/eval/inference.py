@@ -37,16 +37,28 @@ def run_inference(
     attribute_dist: Optional[np.ndarray] = None,
     verbose: bool = True,
     mesh=None,
+    embed_fn=None,
 ) -> Tuple[np.ndarray, float]:
     """Returns (CMC, mAP). Follows ref image_reid_inference.py main :242-320.
 
     With a multi-device `mesh`, the N^2 Jaccard re-ranking runs row-sharded
     over the mesh (faiss IndexShards role) — gallery scale grows with chips.
+
+    `embed_fn` (images [0,255] -> embeddings) overrides the checkpoint-backed
+    extractor — the path used when serving from a StableHLO artifact
+    (ref --onnx, image_reid_inference.py:239); `state` may then be None.
     """
-    gf = extract_embeddings(state, gallery, cfg.train.batch_size,
-                            cfg.retrieval.tta_flip)
-    qf = extract_embeddings(state, query, cfg.train.batch_size,
-                            cfg.retrieval.tta_flip)
+    if embed_fn is not None:
+        from .serving import extract_embeddings_artifact
+        gf = extract_embeddings_artifact(embed_fn, gallery,
+                                         cfg.train.batch_size)
+        qf = extract_embeddings_artifact(embed_fn, query,
+                                         cfg.train.batch_size)
+    else:
+        gf = extract_embeddings(state, gallery, cfg.train.batch_size,
+                                cfg.retrieval.tta_flip)
+        qf = extract_embeddings(state, query, cfg.train.batch_size,
+                                cfg.retrieval.tta_flip)
 
     gl, gc, gs = gallery.labels, gallery.cams, gallery.seqs
     ql, qc, qs = query.labels, query.cams, query.seqs

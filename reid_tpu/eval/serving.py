@@ -1,0 +1,79 @@
+"""Serving-artifact embed path — export AND consume (ORT-session role).
+
+The reference exports the trained backbone to ONNX with a dynamic batch
+axis (`reid/train_prepare.py:14-47`) and then runs retrieval inference (and
+pseudo-labeling) directly from the artifact through ONNX Runtime
+(`image_reid_inference.py:239`, `image_reid_train.py:649-650`).
+
+Here the artifact is a StableHLO module that embeds the WHOLE serving step —
+normalization, dual-view TTA flip, L2-normalized [feat || logits] merge —
+so a consumer needs no model code, no params, no checkpoint: raw uint8/float
+[0,255] crops in, retrieval embeddings out, runnable under jit on any XLA
+backend via `jax.export.deserialize`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import ReIDDataset
+from ..data.loader import make_eval_loader
+from ..data.transforms import inference_batch
+from ..train.steps import embed_with_flip, eval_step
+from ..utils.export import export_serving_fn, load_serving_fn
+
+
+def make_embed_fn(state, tta_flip: bool = True) -> Callable:
+    """Self-contained serving fn: images [0,255] (B,H,W,3) -> (B, 512+C)
+    L2-normalized embeddings — the function the reference freezes into its
+    ONNX graph (inference_efficient, image_reid_inference.py:78-135)."""
+    apply_fn = state.apply_fn
+    params = state.params
+    batch_stats = state.batch_stats
+
+    def embed(images):
+        x = inference_batch(images)
+        if tta_flip:
+            return embed_with_flip(apply_fn, params, batch_stats, x)
+        f, l = eval_step(apply_fn, params, batch_stats, x)
+
+        def l2n(v):
+            return v / jnp.maximum(
+                jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+        return l2n(jnp.concatenate(
+            [l2n(f.astype(jnp.float32)), l2n(l.astype(jnp.float32))], axis=1))
+
+    return embed
+
+
+def export_reid_artifact(state, path: str, height: int, width: int,
+                         tta_flip: bool = True,
+                         dynamic_batch: bool = True) -> bytes:
+    """Serialize the full serving step (ref to_onnx, train_prepare.py:14-47)."""
+    embed = make_embed_fn(state, tta_flip=tta_flip)
+    example = (jnp.zeros((2, height, width, 3), jnp.float32),)
+    return export_serving_fn(embed, example, path,
+                             dynamic_batch=dynamic_batch)
+
+
+def extract_embeddings_artifact(embed: Callable, dataset: ReIDDataset,
+                                batch_size: int) -> np.ndarray:
+    """Whole-dataset embeddings through a loaded artifact (ORT-session role;
+    ref image_reid_inference.py:239 runs eval from the ONNX session)."""
+    feats = []
+    for batch in make_eval_loader(dataset, batch_size):
+        x = jnp.asarray(batch["images"]).astype(jnp.float32)
+        feats.append(np.asarray(embed(x), np.float32))
+    return np.concatenate(feats)[: len(dataset)]
+
+
+__all__ = [
+    "make_embed_fn",
+    "export_reid_artifact",
+    "extract_embeddings_artifact",
+    "load_serving_fn",
+]

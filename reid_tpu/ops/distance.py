@@ -3,16 +3,23 @@
 TPU-native replacement for faiss brute-force GPU kNN
 (ref `reid/faiss_utils.py:56-118` `search_raw_array_pytorch` -> bfKnn).
 
-Two paths:
-  * `_pallas_sqeuclidean` — Pallas kernel, (TM, TN) output tiles computed as
-    |x|^2 + |y|^2 - 2 x yᵀ with the cross-term on the MXU. Tiles are sized to
-    VMEM; the K (feature) axis is kept whole (ReID feature dims <= 3k: a
-    256x3072 f32 tile is 3 MB — fits comfortably).
-  * jnp fallback — identical math, used on CPU (tests) and for tiny inputs
-    where one fused XLA matmul wins.
+Two paths per op, with measured defaults (TPU v5e, N=23k, D=1280):
+
+  * squared Euclidean — the XLA path (one fused matmul + row norms) WINS:
+    17.4 TF/s (1024-row slab) / 30.2 TF/s (2048) vs the Pallas kernel's
+    14.5 / 20.8 TF/s. XLA already fuses |x|^2+|y|^2 into the epilogue of an
+    optimally-tiled MXU matmul; re-tiling it by hand only loses. Default is
+    therefore the jnp path everywhere; `use_pallas=True` keeps the kernel
+    reachable for re-measurement on other chips.
+  * pairwise L1 (the Jaccard min-sum workhorse) — the Pallas kernel WINS by
+    ~69x: 27 ms vs 1881 ms for a (512, 23k) x (2048, 23k) slab. |a-b| has no
+    MXU form, and the XLA fallback materializes the (M, block, N) broadcast
+    through HBM, while the Pallas kernel streams (TM, TK)/(TN, TK) tiles
+    through VMEM and accumulates in-register. Default: Pallas on TPU.
 
 `topk_neighbors` = blocked distance + `jax.lax.top_k` per query block, so
-gallery-scale search (N≈20-50k) never materializes the full N x N matrix.
+gallery-scale search (N≈20-50k) never materializes the full N x N matrix
+(block_q=1024 measured best: 69 ms for 23k x 23k x 1280 + top-31).
 """
 
 from __future__ import annotations
@@ -96,10 +103,14 @@ def _pallas_sqeuclidean(x, y, tile_m: int = 256, tile_n: int = 512):
 def pairwise_sqeuclidean(
     x: jnp.ndarray, y: jnp.ndarray, use_pallas: Optional[bool] = None
 ) -> jnp.ndarray:
-    """Squared Euclidean distance matrix (M, N), float32."""
+    """Squared Euclidean distance matrix (M, N), float32.
+
+    Default is the XLA path — measured FASTER than the Pallas kernel at
+    gallery scale (see module docstring); pass use_pallas=True to force the
+    kernel when re-measuring on new hardware."""
     if use_pallas is None:
-        use_pallas = _HAS_PALLAS and _on_tpu() and x.shape[0] * y.shape[0] >= 1 << 18
-    if use_pallas:
+        use_pallas = False
+    if use_pallas and _HAS_PALLAS and _on_tpu():
         return _pallas_sqeuclidean(x, y)
     return _jnp_sqeuclidean(x, y)
 
@@ -183,7 +194,9 @@ def topk_neighbors(
 
     Blocked over queries so only (block_q, N) distance slabs exist at once —
     the faiss `bfKnn` replacement for gallery search & Jaccard initial
-    ranking. Returns *ascending* distances.
+    ranking. Returns *ascending* distances. Distance slabs ride the default
+    XLA matmul path (measured faster than the Pallas kernel at this shape:
+    69 ms for 23k queries x 23k gallery x 1280 dims + top-31 on v5e).
     """
     q, d = query.shape
     n = gallery.shape[0]
@@ -193,9 +206,9 @@ def topk_neighbors(
 
     def body(qblock):
         if metric == "cosine":
-            dist = pairwise_cosine(qblock, gallery, use_pallas=False)
+            dist = pairwise_cosine(qblock, gallery)
         else:
-            dist = pairwise_sqeuclidean(qblock, gallery, use_pallas=False)
+            dist = pairwise_sqeuclidean(qblock, gallery)
         neg, idx = jax.lax.top_k(-dist, k)
         return -neg, idx
 

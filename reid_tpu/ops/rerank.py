@@ -183,7 +183,9 @@ def compute_jaccard_distance_sharded(
                       out_specs=P(axis, None))(a_qe, v)
 
     def jac_rows(v_rows, v_all):
-        tm = 1.0 - 0.5 * pairwise_l1(v_rows, v_all, use_pallas=False)
+        # auto-detect: Pallas on TPU (measured 69x over the XLA broadcast
+        # at this slab shape — see ops/distance.py), jnp on the CPU test mesh
+        tm = 1.0 - 0.5 * pairwise_l1(v_rows, v_all)
         return jnp.maximum(1.0 - tm / (2.0 - tm), 0.0)
 
     out = shard_map(jac_rows, mesh, in_specs=(P(axis, None), P()),

@@ -126,3 +126,33 @@ def test_extract_embeddings_shape(trained, cfg):
     emb = extract_embeddings(state, query, batch_size=8)
     assert emb.shape == (len(query), 512 + 4)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
+
+
+def test_artifact_serving_roundtrip(trained, cfg, tmp_path):
+    """Export the full serving step to StableHLO, reload it, and run the
+    whole retrieval eval checkpoint-free (ref --onnx consumption,
+    image_reid_inference.py:239). Embeddings and metrics must match the
+    checkpoint-backed path."""
+    from reid_tpu.eval.serving import (export_reid_artifact,
+                                       extract_embeddings_artifact,
+                                       load_serving_fn)
+
+    ds_raw, state, _ = trained
+    query = ReIDDataset(ds_raw.query, 4, 64, 32)
+    gallery = ReIDDataset(ds_raw.gallery, 4, 64, 32)
+
+    path = str(tmp_path / "reid.stablehlo")
+    export_reid_artifact(state, path, height=64, width=32)
+    embed = load_serving_fn(path)
+
+    # artifact embeddings == in-process embeddings (dynamic batch: 4 and 12)
+    emb_art = extract_embeddings_artifact(embed, query, batch_size=8)
+    emb_ref = extract_embeddings(state, query, batch_size=8)
+    np.testing.assert_allclose(emb_art, emb_ref, atol=1e-4)
+
+    cmc_a, map_a = run_inference(None, query, gallery, cfg, rerank=True,
+                                 verbose=False, embed_fn=embed)
+    cmc_c, map_c = run_inference(state, query, gallery, cfg, rerank=True,
+                                 verbose=False)
+    np.testing.assert_allclose(map_a, map_c, atol=1e-5)
+    np.testing.assert_allclose(cmc_a, cmc_c, atol=1e-5)
