@@ -75,7 +75,10 @@ def bench_tracking(model, variables, chunk=32, max_dets=32):
         return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
                                1e-12)
 
-    run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk)
+    # crop budget = actual detection load (16/frame): the embed batch is
+    # compacted to the valid crops (output-identical when budget >= #valid)
+    run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
+                                     crop_budget=chunk * 16)
     rng = np.random.default_rng(0)
     frames = jax.device_put(
         rng.integers(0, 255, (chunk, 480, 640, 3)).astype(np.uint8))

@@ -30,6 +30,12 @@ def _base_cfg(args):
     if getattr(args, "backbone", "") in ("vit", "swin_v1", "swin_v2"):
         h, w = (448, 224) if args.dataset in ("market1501", "dukemtmc") \
             else (224, 224)
+    # optional override (not in the reference parsers; used by small-scale
+    # smoke runs and the test suite)
+    if getattr(args, "height", 0):
+        h = args.height
+    if getattr(args, "width", 0):
+        w = args.width
     n_cams = {"market1501": 6, "dukemtmc": 8, "veri": 20}.get(args.dataset, 6)
     return Config(
         model=ModelConfig(
@@ -84,6 +90,9 @@ def train_main(argv=None):
     p.add_argument("--target_dataset", default="dukemtmc")
     p.add_argument("--target_root", default="data")
     p.add_argument("--eps", type=float, default=0.55)
+    p.add_argument("--height", type=int, default=0,
+                   help="override input height (0 = dataset default)")
+    p.add_argument("--width", type=int, default=0)
     p.add_argument("--ckpt", default="")
     p.add_argument("--export", default="",
                    help="write the StableHLO serving artifact here after "
@@ -132,6 +141,9 @@ def inference_main(argv=None):
                         "from the exported embed step (ref --onnx, "
                         "image_reid_inference.py:239)")
     p.add_argument("--bs", type=int, default=64)
+    p.add_argument("--height", type=int, default=0,
+                   help="override input height (0 = dataset default)")
+    p.add_argument("--width", type=int, default=0)
     p.add_argument("--no-rerank", action="store_true")
     p.add_argument("--eps", type=float, default=0.55)
     p.add_argument("--attributes_mat", default="")

@@ -86,7 +86,7 @@ def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
 
 
 def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
-                         chunk: int = 16):
+                         chunk: int = 16, crop_budget: Optional[int] = None):
     """One jit program tracking a CHUNK of frames end-to-end on device.
 
     This is the throughput path (north star >=200 fps/chip): per chunk of T
@@ -95,6 +95,14 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
     association runs as a lax.scan carrying TrackerState. The host only
     feeds frames/detections and drains outputs chunk-by-chunk — per-frame
     dispatch latency is amortized by T.
+
+    `crop_budget` compacts the embed batch: detection slots are static
+    (T x D) but real scenes rarely fill them, so the B highest-confidence
+    valid crops are gathered into a (B,) batch for the backbone (the
+    dominant FLOPs) and the features scattered back; slots that miss the
+    budget are dropped from `valid` (the same graceful capping the
+    reference's NMS max-det performs, track_yolov5.py:193-199). Budget
+    b >= #valid crops is output-identical to the uncompacted path.
     """
     import functools
 
@@ -113,8 +121,21 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
             lambda img, boxes: crop_resize_bilinear(img, boxes, ch, cw)
         )(imgs, tlwh)                                      # (T, D, ch, cw, 3)
         crops = (crops - mean) / std
-        feats = embed_fn(params, batch_stats,
-                         crops.reshape(t * d, ch, cw, 3)).reshape(t, d, -1)
+        crops = crops.reshape(t * d, ch, cw, 3)
+
+        if crop_budget is not None and crop_budget < t * d:
+            b = crop_budget
+            flat_valid = valid.reshape(t * d)
+            score = jnp.where(flat_valid, conf.reshape(t * d), -1.0)
+            sel = jax.lax.top_k(score, b)[1]               # (B,) slot ids
+            feats_b = embed_fn(params, batch_stats, crops[sel])
+            fdim = feats_b.shape[-1]
+            feats = jnp.zeros((t * d, fdim), feats_b.dtype).at[sel].set(
+                feats_b).reshape(t, d, -1)
+            kept = jnp.zeros((t * d,), bool).at[sel].set(True)
+            valid = valid & kept.reshape(t, d)
+        else:
+            feats = embed_fn(params, batch_stats, crops).reshape(t, d, -1)
 
         def scan_step(st, frame_inputs):
             boxes, c, f, v = frame_inputs
@@ -179,15 +200,20 @@ class TrackingPipeline:
 
     def run_sequence(self, frames: np.ndarray, tlwh: np.ndarray,
                      conf: np.ndarray, valid: np.ndarray,
-                     chunk: int = 16, first_frame: int = 1):
+                     chunk: int = 16, first_frame: int = 1,
+                     crop_budget: Optional[int] = None):
         """Chunked high-throughput path: track T frames with ceil(T/chunk)
         device dispatches. frames (T,H,W,3) uint8; tlwh (T,D,4);
-        conf/valid (T,D). Outputs appended to self.results."""
+        conf/valid (T,D). Outputs appended to self.results. `crop_budget`
+        caps the per-chunk embed batch (see make_chunked_tracker)."""
         t_total = frames.shape[0]
-        if not hasattr(self, "_chunked") or self._chunk_size != chunk:
+        if (not hasattr(self, "_chunked") or self._chunk_size != chunk
+                or getattr(self, "_crop_budget", None) != crop_budget):
             self._chunked = make_chunked_tracker(
-                self.cfg, self.crop_embed_raw, self.cfg.crop_hw, chunk)
+                self.cfg, self.crop_embed_raw, self.cfg.crop_hw, chunk,
+                crop_budget=crop_budget)
             self._chunk_size = chunk
+            self._crop_budget = crop_budget
         pending = []  # (start_frame, device outputs) for deferred fetch
         t0 = time.perf_counter()
         for s in range(0, t_total, chunk):

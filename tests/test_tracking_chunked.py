@@ -79,3 +79,35 @@ def test_pipeline_botsort_gmc_path():
     last = pipe.results[-1]
     ids = sorted(np.asarray(last["ids"])[np.asarray(last["valid"])].tolist())
     assert ids == [1, 2]
+
+
+def test_crop_budget_identical_when_sufficient():
+    """budget >= #valid crops -> outputs identical to the uncompacted path;
+    overflow drops lowest-confidence detections only."""
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        crop_hw=(32, 16))
+    frames, tlwh, conf, valid = _sequence(t=8)
+
+    ref = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    ref.run_sequence(frames, tlwh, conf, valid, chunk=4)
+
+    # 2 valid/frame * 4-frame chunk = 8 needed; budget 8 = exact fit
+    fit = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    fit.run_sequence(frames, tlwh, conf, valid, chunk=4, crop_budget=8)
+
+    for a, b in zip(ref.results, fit.results):
+        np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                      np.asarray(b["valid"]))
+        np.testing.assert_array_equal(np.asarray(a["ids"]),
+                                      np.asarray(b["ids"]))
+        np.testing.assert_allclose(np.asarray(a["tlwh"]),
+                                   np.asarray(b["tlwh"]), atol=1e-5)
+
+    # overflow: one slot per chunk must be dropped — the low-conf one
+    conf2 = conf.copy()
+    conf2[:, 1] = 0.2   # target 2 becomes the low-confidence detection
+    tight = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    tight.run_sequence(frames, tlwh, conf2, valid, chunk=4, crop_budget=4)
+    kept_per_frame = [int(np.asarray(r["valid"]).sum())
+                      for r in tight.results]
+    assert max(kept_per_frame) <= 1  # only the high-conf target survives
