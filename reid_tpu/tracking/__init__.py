@@ -24,3 +24,4 @@ from .costs import diou_matrix, iou_matrix, appearance_cost
 from .assignment import auction_assign, hungarian_host
 from .tracker import TrackerState, Tracker, init_tracker_state
 from .mot import load_mot_detections, write_mot_txt
+from .streams import init_stream_states, make_stream_tracker

@@ -111,3 +111,50 @@ def test_crop_budget_identical_when_sufficient():
     kept_per_frame = [int(np.asarray(r["valid"]).sum())
                       for r in tight.results]
     assert max(kept_per_frame) <= 1  # only the high-conf target survives
+
+
+def test_sharded_streams_match_sequential():
+    """8 independent streams sharded over the 8-device mesh produce exactly
+    the per-stream sequential results (streams are device-local under GSPMD;
+    params replicated)."""
+    import jax
+    from reid_tpu.tracking.pipeline import make_chunked_tracker
+    from reid_tpu.tracking.streams import (init_stream_states,
+                                           make_stream_tracker)
+    from reid_tpu.parallel import make_mesh
+
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        crop_hw=(32, 16))
+    n_streams, t = 8, 8
+    seqs = []
+    for s in range(n_streams):
+        frames, tlwh, conf, valid = _sequence(t=t)
+        # make streams distinct: shift boxes per stream
+        tlwh = tlwh + np.asarray([2.0 * s, s % 3, 0, 0])
+        seqs.append((frames, tlwh, conf, valid))
+    frames = np.stack([q[0] for q in seqs])
+    tlwh = np.stack([q[1] for q in seqs])
+    conf = np.stack([q[2] for q in seqs])
+    valid = np.stack([q[3] for q in seqs])
+
+    mesh = make_mesh(8)
+    run = make_stream_tracker(cfg, _embed_fn, cfg.crop_hw, chunk=t,
+                              mesh=mesh)
+    states = init_stream_states(n_streams, cfg.max_tracks, feat_dim=9)
+    states, outs = run({}, {}, states,
+                       jnp.asarray(frames), jnp.asarray(tlwh),
+                       jnp.asarray(conf), jnp.asarray(valid))
+
+    single = make_chunked_tracker(cfg, _embed_fn, cfg.crop_hw, chunk=t)
+    from reid_tpu.tracking.tracker import init_tracker_state
+    for s in range(n_streams):
+        st = init_tracker_state(cfg.max_tracks, feat_dim=9)
+        st, ref = single({}, {}, st, jnp.asarray(frames[s]),
+                         jnp.asarray(tlwh[s]), jnp.asarray(conf[s]),
+                         jnp.asarray(valid[s]))
+        np.testing.assert_array_equal(np.asarray(outs["ids"][s]),
+                                      np.asarray(ref["ids"]))
+        np.testing.assert_array_equal(np.asarray(outs["valid"][s]),
+                                      np.asarray(ref["valid"]))
+        np.testing.assert_allclose(np.asarray(outs["tlwh"][s]),
+                                   np.asarray(ref["tlwh"]), atol=1e-4)
