@@ -95,6 +95,10 @@ class RetrievalConfig:
     cam_bias_lambda: float = 0.05      # ridge reg of camera whitening (ref la=0.05)
     tta_flip: bool = True
     smooth_tracklet_alpha: float = 0.1 # ref inference_utils.py:27
+    # top-S approximate Jaccard min-sum (0 = exact dense path). Big-gallery
+    # mode: 2.1x at N=23k with S=256; exact when the k-reciprocal expansion
+    # support fits in S (ops/rerank.py _minsum_topk).
+    rerank_sparse_s: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

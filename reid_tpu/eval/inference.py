@@ -77,9 +77,10 @@ def run_inference(
             lambda_reg=cfg.retrieval.cam_bias_lambda,
             num_cams=int(cams.max()) + 1))
 
+    sparse_s = cfg.retrieval.rerank_sparse_s or None
     dists = np.asarray(jaccard_distance(
         jnp.asarray(merged), k1=cfg.retrieval.k1, k2=cfg.retrieval.k2,
-        mesh=mesh))
+        mesh=mesh, sparse_s=sparse_s))
 
     if attribute_dist is not None:
         dists = dists + attribute_dist
@@ -101,7 +102,7 @@ def run_inference(
                 alpha=cfg.retrieval.smooth_tracklet_alpha))
             dists = np.asarray(jaccard_distance(
                 jnp.asarray(merged), k1=cfg.retrieval.k1,
-                k2=cfg.retrieval.k2, mesh=mesh))
+                k2=cfg.retrieval.k2, mesh=mesh, sparse_s=sparse_s))
 
     # query-to-gallery block of the merged distance matrix
     qg = dists[n_g:, :n_g]

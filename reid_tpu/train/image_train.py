@@ -197,7 +197,7 @@ def produce_pseudo_data(
         num_cams=int(target_dataset.cams.max()) + 1))
     jac = np.asarray(jaccard_distance(
         jnp.asarray(emb), k1=cfg.retrieval.k1, k2=cfg.retrieval.k2,
-        mesh=mesh))
+        mesh=mesh, sparse_s=cfg.retrieval.rerank_sparse_s or None))
     labels = dbscan_precomputed(jac, eps=cfg.retrieval.dbscan_eps,
                                 min_samples=cfg.retrieval.dbscan_min_samples)
     num_clusters = int(labels.max()) + 1 if labels.max() >= 0 else 0

@@ -71,7 +71,7 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     from reid_tpu.cli import train_main
     state = train_main(["--root", str(tmp_path), "--bs", "4",
                         "--instance", "2", "--epochs", "1",
-                        "--height", "64", "--width", "32"])
+                        "--height", "80", "--width", "40"])
     assert int(state.step) > 0
 
 
@@ -118,13 +118,13 @@ def test_inference_cli_with_checkpoint(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from reid_tpu.cli import inference_main, train_main
     train_main(["--root", str(tmp_path), "--bs", "4", "--instance", "2",
-                "--epochs", "1", "--height", "64", "--width", "32"])
+                "--epochs", "1", "--height", "80", "--width", "40"])
     ckpt = str(tmp_path / "checkpoint" / "cnn_net_checkpoint_market1501")
     import os
     assert os.path.exists(ckpt)
     cmc, mAP = inference_main(["--root", str(tmp_path), "--ckpt", ckpt,
                                "--no-rerank",
-                               "--height", "64", "--width", "32"])
+                               "--height", "80", "--width", "40"])
     assert 0.0 <= mAP <= 1.0
     assert cmc.shape[0] == 50
 

@@ -20,7 +20,7 @@ def _init_and_apply(model, x, cam=None, train=True):
 @pytest.mark.parametrize("name", ["seres18", "cares18", "emares18"])
 def test_res18_family_shapes(name):
     model = build_model(name, num_classes=10, num_cams=6)
-    x = jnp.zeros((2, 64, 32, 3), jnp.float32)
+    x = jnp.zeros((2, 80, 40, 3), jnp.float32)
     variables, (feature, logits) = _init_and_apply(model, x, train=True)
     assert feature.shape == (2, 512)
     assert logits.shape == (2, 10)
@@ -32,7 +32,7 @@ def test_res18_family_shapes(name):
 
 def test_seres18_cam_bias_changes_eval_feat():
     model = build_model("seres18", num_classes=5, num_cams=4, cam_factor=1.5)
-    x = jnp.ones((2, 64, 32, 3), jnp.float32)
+    x = jnp.ones((2, 80, 40, 3), jnp.float32)
     cam = jnp.asarray([0, 3])
     variables = model.init(jax.random.PRNGKey(0), x, cam=cam, train=True)
     no_cam, _ = model.apply(variables, x, cam=None, train=False)
@@ -42,7 +42,7 @@ def test_seres18_cam_bias_changes_eval_feat():
 
 def test_seres18_batch_stats_update():
     model = build_model("seres18", num_classes=5)
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 64, 32, 3)),
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 80, 40, 3)),
                     jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=True)
     _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
@@ -56,7 +56,7 @@ def test_seres18_batch_stats_update():
 
 def test_seres18_bf16_forward():
     model = build_model("seres18", num_classes=5, dtype=jnp.bfloat16)
-    x = jnp.zeros((2, 64, 32, 3), jnp.bfloat16)
+    x = jnp.zeros((2, 80, 40, 3), jnp.bfloat16)
     variables, (feature, logits) = _init_and_apply(model, x, train=True)
     assert feature.dtype == jnp.bfloat16
     # params stay fp32

@@ -10,7 +10,7 @@ from reid_tpu.models import build_model
 
 def test_osnet_shapes():
     model = build_model("osnet_x0_25", num_classes=10)
-    x = jnp.zeros((2, 64, 32, 3))
+    x = jnp.zeros((2, 80, 40, 3))
     v = model.init(jax.random.PRNGKey(0), x, train=True)
     (feat, logits), _ = model.apply(v, x, train=True, mutable=["batch_stats"])
     assert feat.shape == (2, 512)
@@ -19,7 +19,7 @@ def test_osnet_shapes():
 
 def test_plr_osnet_dual_branch():
     model = build_model("plr_osnet", num_classes=7)
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 32, 3)),
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 80, 40, 3)),
                     jnp.float32)
     v = model.init(jax.random.PRNGKey(0), x, train=True)
     ((v1, v2), (y1, y2)), _ = model.apply(v, x, train=True,

@@ -55,7 +55,7 @@ def test_video_resnet_shapes():
 @pytest.mark.parametrize("name,feat_dim", [("baseline", 512), ("agw", 2048)])
 def test_cnn_baselines(name, feat_dim):
     model = build_model(name, num_classes=6)
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 32, 3)),
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 80, 40, 3)),
                     jnp.float32)
     v, (feat, logits) = _run(model, x)
     assert feat.shape == (2, feat_dim)

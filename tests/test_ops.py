@@ -161,3 +161,23 @@ def test_kmeans_separates_blobs(rng):
     assert len(set(labels[:30])) == 1
     assert len(set(labels[30:])) == 1
     assert labels[0] != labels[30]
+
+
+def test_jaccard_sparse_topk_matches_dense(rng):
+    """Top-S approximate min-sum == dense Jaccard when S covers the
+    k-reciprocal support (big-gallery mode, ops/rerank.py)."""
+    from reid_tpu.ops.rerank import compute_jaccard_distance
+
+    # clustered features -> realistic sparse expansion sets
+    centers = rng.normal(size=(8, 32))
+    feats = np.repeat(centers, 16, axis=0) + 0.1 * rng.normal(size=(128, 32))
+    f = jnp.asarray(feats, jnp.float32)
+    dense = np.asarray(compute_jaccard_distance(f, k1=10, k2=3))
+    sparse = np.asarray(compute_jaccard_distance(f, k1=10, k2=3,
+                                                 sparse_s=64))
+    assert np.max(np.abs(dense - sparse)) < 1e-5
+    # non-multiple-of-block N exercises the padding path
+    f2 = f[:100]
+    d2 = np.asarray(compute_jaccard_distance(f2, k1=10, k2=3))
+    s2 = np.asarray(compute_jaccard_distance(f2, k1=10, k2=3, sparse_s=64))
+    assert np.max(np.abs(d2 - s2)) < 1e-5

@@ -38,10 +38,10 @@ def test_dp_train_step_multidevice(rng):
     model = build_model("seres18", num_classes=8)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg,
                                steps_per_epoch=2,
-                               input_shape=(2, 32, 16, 3))
+                               input_shape=(2, 80, 40, 3))
     state = replicate(mesh, state)
     batch = shard_batch(mesh, {
-        "images": jnp.asarray(rng.normal(size=(16, 32, 16, 3)), jnp.float32),
+        "images": jnp.asarray(rng.normal(size=(16, 80, 40, 3)), jnp.float32),
         "labels": jnp.asarray(np.arange(16) % 8, jnp.int32),
         "cams": jnp.zeros((16,), jnp.int32),
     })
@@ -61,9 +61,9 @@ def test_dp_matches_single_device(rng):
                                    warmup_epochs=1, hold_epochs=1))
     model = build_model("seres18", num_classes=4)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg,
-                               steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+                               steps_per_epoch=2, input_shape=(2, 80, 40, 3))
     batch_np = {
-        "images": rng.normal(size=(8, 32, 16, 3)).astype(np.float32),
+        "images": rng.normal(size=(8, 80, 40, 3)).astype(np.float32),
         "labels": (np.arange(8) % 4).astype(np.int32),
         "cams": np.zeros(8, np.int32),
     }
@@ -90,9 +90,9 @@ def test_train_cnn_dp_matches_single_device():
         model=ModelConfig(num_classes=4, dtype="float32"),
         train=TrainConfig(batch_size=8, num_instances=2, epochs=1,
                           warmup_epochs=1, hold_epochs=1),
-        data=DataConfig(height=32, width=16),
+        data=DataConfig(height=80, width=40),
     )
-    ds = synthetic_dataset(n=16, num_pids=4, height=32, width=16)
+    ds = synthetic_dataset(n=16, num_pids=4, height=80, width=40)
     _, losses_1 = train_cnn(cfg, ds, log_every=1, mesh=make_mesh(1),
                             ckpt_dir=tempfile.mkdtemp())
     _, losses_8 = train_cnn(cfg, ds, log_every=1, mesh=make_mesh(8),
@@ -115,16 +115,16 @@ def test_train_cnn_dp_sharded_jaccard_inference():
         model=ModelConfig(num_classes=4, dtype="float32"),
         train=TrainConfig(batch_size=8, num_instances=2, epochs=1,
                           warmup_epochs=1, hold_epochs=1),
-        data=DataConfig(height=32, width=16),
+        data=DataConfig(height=80, width=40),
         retrieval=RetrievalConfig(k1=6, k2=2, dbscan_min_samples=2),
     )
     model = build_model("seres18", num_classes=4)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg,
-                               steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+                               steps_per_epoch=2, input_shape=(2, 80, 40, 3))
     # N = 6 query + 13 gallery = 19, NOT divisible by 8 -> exercises padding
-    query = synthetic_dataset(n=6, num_pids=3, height=32, width=16, seed=1,
+    query = synthetic_dataset(n=6, num_pids=3, height=80, width=40, seed=1,
                               cam_offset=4)
-    gallery = synthetic_dataset(n=13, num_pids=3, height=32, width=16, seed=2)
+    gallery = synthetic_dataset(n=13, num_pids=3, height=80, width=40, seed=2)
     mesh = make_mesh(8)
     cmc, mAP = run_inference(state, query, gallery, cfg, rerank=True,
                              verbose=False, mesh=mesh)

@@ -59,7 +59,7 @@ def cfg():
         loss=LossConfig(),
         train=TrainConfig(batch_size=8, num_instances=2, epochs=2,
                           warmup_epochs=1, hold_epochs=1, lr=3e-3),
-        data=DataConfig(height=64, width=32),
+        data=DataConfig(height=80, width=40),
         retrieval=RetrievalConfig(k1=6, k2=2, dbscan_eps=0.7,
                                   dbscan_min_samples=2),
     )
@@ -68,7 +68,7 @@ def cfg():
 @pytest.fixture(scope="module")
 def trained(tiny_market, cfg, tmp_path_factory):
     ds_raw = Market1501(tiny_market, verbose=False)
-    train_ds = ReIDDataset(ds_raw.train, ds_raw.num_train_pids, 64, 32)
+    train_ds = ReIDDataset(ds_raw.train, ds_raw.num_train_pids, 80, 40)
     ckpt = str(tmp_path_factory.mktemp("ckpt"))
     state, losses = train_cnn(cfg, train_ds, ckpt_dir=ckpt)
     return ds_raw, state, losses
@@ -84,8 +84,8 @@ def test_train_loss_finite(trained):
 
 def test_retrieval_eval_paths(trained, cfg):
     ds_raw, state, _ = trained
-    query = ReIDDataset(ds_raw.query, 4, 64, 32)
-    gallery = ReIDDataset(ds_raw.gallery, 4, 64, 32)
+    query = ReIDDataset(ds_raw.query, 4, 80, 40)
+    gallery = ReIDDataset(ds_raw.gallery, 4, 80, 40)
     cmc, mAP = run_inference(state, query, gallery, cfg, rerank=False,
                              verbose=False)
     assert 0.0 <= mAP <= 1.0 and cmc.shape[0] == 50
@@ -98,7 +98,7 @@ def test_retrieval_eval_paths(trained, cfg):
 
 def test_pseudo_label_and_classifier_expansion(trained, cfg):
     ds_raw, state, _ = trained
-    target = ReIDDataset(ds_raw.gallery, 4, 64, 32)
+    target = ReIDDataset(ds_raw.gallery, 4, 80, 40)
     records, centroids, k = produce_pseudo_data(state, target, cfg)
     assert k >= 1
     assert all(r[1] >= cfg.model.num_classes for r in records)
@@ -111,7 +111,7 @@ def test_pseudo_label_and_classifier_expansion(trained, cfg):
     from reid_tpu.train.steps import make_train_step
     step = make_train_step(new_cfg)
     batch = {
-        "images": jnp.zeros((4, 64, 32, 3), jnp.float32),
+        "images": jnp.zeros((4, 80, 40, 3), jnp.float32),
         "labels": jnp.asarray([0, 1, 4, 4 + k - 1], jnp.int32) % (4 + k),
         "cams": jnp.zeros((4,), jnp.int32),
         "weights": jnp.full((4,), 0.25, jnp.float32),
@@ -122,7 +122,7 @@ def test_pseudo_label_and_classifier_expansion(trained, cfg):
 
 def test_extract_embeddings_shape(trained, cfg):
     ds_raw, state, _ = trained
-    query = ReIDDataset(ds_raw.query, 4, 64, 32)
+    query = ReIDDataset(ds_raw.query, 4, 80, 40)
     emb = extract_embeddings(state, query, batch_size=8)
     assert emb.shape == (len(query), 512 + 4)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
@@ -138,11 +138,11 @@ def test_artifact_serving_roundtrip(trained, cfg, tmp_path):
                                        load_serving_fn)
 
     ds_raw, state, _ = trained
-    query = ReIDDataset(ds_raw.query, 4, 64, 32)
-    gallery = ReIDDataset(ds_raw.gallery, 4, 64, 32)
+    query = ReIDDataset(ds_raw.query, 4, 80, 40)
+    gallery = ReIDDataset(ds_raw.gallery, 4, 80, 40)
 
     path = str(tmp_path / "reid.stablehlo")
-    export_reid_artifact(state, path, height=64, width=32)
+    export_reid_artifact(state, path, height=80, width=40)
     embed = load_serving_fn(path)
 
     # artifact embeddings == in-process embeddings (dynamic batch: 4 and 12)

@@ -103,7 +103,7 @@ def test_trunk_parity_torch_vs_flax(rng):
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
 
     fm = SERes18IBN(num_classes=5, attention="none")
-    x = rng.normal(size=(2, 64, 32, 3)).astype(np.float32)
+    x = rng.normal(size=(2, 80, 40, 3)).astype(np.float32)
     variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
     variables = {"params": jax.device_get(variables["params"]),
                  "batch_stats": jax.device_get(variables["batch_stats"])}
@@ -244,7 +244,7 @@ def test_full_model_parity_torch_vs_flax(rng):
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
 
     fm = SERes18IBN(num_classes=5, num_cams=3, cam_factor=1.5)
-    x = rng.normal(size=(2, 64, 32, 3)).astype(np.float32)
+    x = rng.normal(size=(2, 80, 40, 3)).astype(np.float32)
     cams = np.asarray([0, 2])
     variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
     variables = {"params": jax.device_get(variables["params"]),

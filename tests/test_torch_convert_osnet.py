@@ -121,7 +121,7 @@ def test_osnet_converter_parity(rng):
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
 
     fm = OSNet(num_classes=5)
-    x = rng.normal(size=(2, 64, 32, 3)).astype(np.float32)
+    x = rng.normal(size=(2, 80, 40, 3)).astype(np.float32)
     variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
     variables = {"params": jax.device_get(variables["params"]),
                  "batch_stats": jax.device_get(variables["batch_stats"])}

@@ -23,7 +23,7 @@ def _tiny_cfg(**loss_kw):
     )
 
 
-def _synthetic_batch(rng, n=8, n_ids=4, hw=(32, 16)):
+def _synthetic_batch(rng, n=8, n_ids=4, hw=(80, 40)):
     labels = np.repeat(np.arange(n_ids), n // n_ids)
     # images whose mean intensity correlates with identity -> learnable
     images = rng.normal(size=(n, *hw, 3)).astype(np.float32) * 0.1
@@ -39,7 +39,7 @@ def test_train_step_decreases_loss(rng):
     cfg = _tiny_cfg()
     model = build_model("seres18", num_classes=4)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg,
-                               steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+                               steps_per_epoch=2, input_shape=(2, 80, 40, 3))
     step = make_train_step(cfg)
     batch = _synthetic_batch(rng)
     losses = []
@@ -55,7 +55,7 @@ def test_xbm_train_step(rng):
     cfg = _tiny_cfg(xbm=True)
     model = build_model("seres18", num_classes=4)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg,
-                               steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+                               steps_per_epoch=2, input_shape=(2, 80, 40, 3))
     step = make_train_step(cfg, use_xbm_gate=True)
     batch = _synthetic_batch(rng)
     batch["xbm_active"] = jnp.array(True)
@@ -95,9 +95,9 @@ def test_vit_sie_train_step(rng):
     from reid_tpu.models import build_model
     model = build_model("vit", num_classes=4, num_cams=4, num_seqs=2)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg,
-                               steps_per_epoch=2, input_shape=(2, 64, 32, 3))
+                               steps_per_epoch=2, input_shape=(2, 80, 40, 3))
     step = make_train_step(cfg)
-    batch = _synthetic_batch(rng, hw=(64, 32))
+    batch = _synthetic_batch(rng, hw=(80, 40))
     batch["cams"] = jnp.asarray((np.arange(8) % 4) * 2 + np.arange(8) % 2,
                                 jnp.int32)  # view indices < 8
     state, metrics = step(state, batch)
@@ -116,7 +116,7 @@ def test_renorm_model_train_step(rng):
     from reid_tpu.models import build_model
     model = build_model("seres18", num_classes=4, renorm=True)
     state = create_train_state(jax.random.PRNGKey(0), model, cfg,
-                               steps_per_epoch=2, input_shape=(2, 32, 16, 3))
+                               steps_per_epoch=2, input_shape=(2, 80, 40, 3))
     step = make_train_step(cfg)
     batch = _synthetic_batch(rng)
     state, metrics = step(state, batch)
@@ -142,9 +142,9 @@ def test_plr_dual_branch_train_step(rng):
     )
     model, state, tx, ctx = create_plr_train_state(
         jax.random.PRNGKey(0), cfg, steps_per_epoch=2,
-        input_shape=(2, 64, 32, 3))
+        input_shape=(2, 80, 40, 3))
     step = make_plr_train_step(cfg, model, tx, ctx)
-    batch = _synthetic_batch(rng, hw=(64, 32))
+    batch = _synthetic_batch(rng, hw=(80, 40))
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(float(m["loss1"])) and np.isfinite(float(m["loss2"]))
