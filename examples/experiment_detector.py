@@ -1,0 +1,97 @@
+"""Experiment: train the in-framework detector, then track FROM ITS OWN
+DETECTIONS and score — the full detector -> tracker -> metrics loop with no
+external model (the reference needs pretrained YOLOv5 weights for this;
+ref track_yolov5.py:135).
+
+Scene: 90 frames, 6 bright moving targets on dark noise. CenterNetLite is
+trained on the first 60 frames' gt boxes, then the LAST 30 (unseen) frames
+are tracked detector-in-the-loop and scored with the native CLEAR/Identity
+metrics.
+
+Run: python examples/experiment_detector.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_scene(t_total=90, n_t=6, h=240, w=320, seed=0):
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(150, 250, (n_t, 3))
+    starts = rng.uniform([0, 0], [w - 40, h - 70], (n_t, 2))
+    vels = rng.uniform(-2.5, 2.5, (n_t, 2))
+    frames = np.zeros((t_total, h, w, 3), np.uint8)
+    boxes = np.zeros((t_total, 8, 4), np.float32)
+    valid = np.zeros((t_total, 8), bool)
+    gt = {}
+    for t in range(t_total):
+        frame = rng.integers(0, 40, (h, w, 3)).astype(np.uint8)
+        bxs, ids = [], []
+        for i in range(n_t):
+            x = float(np.clip(starts[i, 0] + vels[i, 0] * t, 0, w - 24))
+            y = float(np.clip(starts[i, 1] + vels[i, 1] * t, 0, h - 56))
+            bw, bh = 20, 48
+            frame[int(y):int(y + bh), int(x):int(x + bw)] = colors[i]
+            boxes[t, i] = (x, y, bw, bh)
+            valid[t, i] = True
+            bxs.append((x, y, bw, bh))
+            ids.append(i)
+        frames[t] = frame
+        gt[t + 1] = (np.asarray(bxs, float), np.asarray(ids, int))
+    return frames, boxes, valid, gt
+
+
+def main():
+    import jax.numpy as jnp
+
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.tracking.metrics import evaluate_clear_identity
+    from reid_tpu.tracking.pipeline import TrackingPipeline
+    from reid_tpu.train.detector_train import (make_detector_fn,
+                                               train_detector)
+
+    frames, boxes, valid, gt = build_scene()
+    n_train = 60
+    det_hw = (240, 320)
+
+    model, variables, losses = train_detector(
+        frames[:n_train], boxes[:n_train], valid[:n_train],
+        det_hw=det_hw, epochs=30, batch_size=8, lr=2e-3, base=16)
+    print(f"detector loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+
+    detect = make_detector_fn(model, variables, det_hw, max_dets=16,
+                              min_conf=0.25)
+
+    cfg = TrackerConfig(max_tracks=32, max_dets=16, n_init=2,
+                        crop_hw=(64, 32), min_confidence=0.25)
+
+    def embed_fn(params, batch_stats, crops):
+        m = jnp.mean(crops, axis=(1, 2))
+        s = jnp.std(crops, axis=(1, 2))
+        f = jnp.concatenate([m, s], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    pipe = TrackingPipeline(cfg, embed_fn, {}, {}, feat_dim=6)
+    eval_gt = {}
+    for i, t in enumerate(range(n_train, frames.shape[0])):
+        tlwh, conf, vmask = detect(frames[t])
+        pipe.step(i + 1, frames[t], tlwh, conf, vmask)
+        eval_gt[i + 1] = gt[t + 1]
+
+    tracks = {
+        r["frame"]: (np.asarray(r["tlwh"])[np.asarray(r["valid"])],
+                     np.asarray(r["ids"])[np.asarray(r["valid"])])
+        for r in pipe.results
+    }
+    m = evaluate_clear_identity(eval_gt, tracks)
+    print("  ".join(f"{k}: {v:.2f}" for k, v in m.items()))
+    assert m["MOTA"] > 0.5, "detector-driven tracking below threshold"
+    print("detector-in-the-loop tracking OK")
+
+
+if __name__ == "__main__":
+    main()

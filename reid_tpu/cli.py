@@ -413,7 +413,8 @@ def track_main(argv=None):
         dets = load_mot_detections(args.detections, cfg.max_dets,
                                    min_conf=args.conf_thres)
     else:
-        from .models.detector import CenterNetLite, decode_detections
+        from .models.detector import CenterNetLite
+        from .train.detector_train import make_detector_fn
 
         det_hw = tuple(args.det_size)
         det_model = CenterNetLite()
@@ -422,21 +423,8 @@ def track_main(argv=None):
         if args.det_ckpt:
             from .utils import restore_checkpoint
             dvars = restore_checkpoint(args.det_ckpt, dvars)
-
-        @jax.jit
-        def _detect(v, frame):
-            img = frame.astype(jnp.float32) / 255.0
-            img = jax.image.resize(img, (*det_hw, 3), "bilinear")
-            out = det_model.apply(v, img[None], train=False)
-            tlwh, scores = decode_detections(out, max_dets=cfg.max_dets)
-            sx = frame.shape[1] / det_hw[1]
-            sy = frame.shape[0] / det_hw[0]
-            return tlwh[0] * jnp.asarray([sx, sy, sx, sy]), scores[0]
-
-        def detect(frame):
-            tlwh, conf = _detect(dvars, jnp.asarray(frame))
-            conf = np.asarray(conf)
-            return np.asarray(tlwh), conf, conf > 0.05
+        detect = make_detector_fn(det_model, dvars, det_hw,
+                                  max_dets=cfg.max_dets)
 
     # ---- frame source (video / dir / webcam) or blanks for det-only runs
     if args.source:

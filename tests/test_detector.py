@@ -100,3 +100,29 @@ def test_make_centernet_targets():
     from reid_tpu.models.detector import decode_detections
     big = np.asarray(heat)
     assert big.max() == 1.0
+
+
+def test_train_detector_driver(rng):
+    """train_detector loss decreases and make_detector_fn keeps the
+    serve-path contract (tlwh/conf/valid in frame pixels)."""
+    from reid_tpu.train.detector_train import (make_detector_fn,
+                                               train_detector)
+
+    n, h, w = 8, 96, 128
+    frames = rng.integers(0, 40, (n, h, w, 3)).astype(np.uint8)
+    boxes = np.zeros((n, 4, 4), np.float32)
+    valid = np.zeros((n, 4), bool)
+    for i in range(n):
+        x, y = 20 + 6 * i, 30
+        frames[i, y:y + 40, x:x + 16] = 230
+        boxes[i, 0] = (x, y, 16, 40)
+        valid[i, 0] = True
+    model, variables, losses = train_detector(
+        frames, boxes, valid, det_hw=(96, 128), epochs=3, batch_size=4,
+        base=8, log_fn=lambda *_: None)
+    assert losses[-1] < losses[0]
+    detect = make_detector_fn(model, variables, (96, 128), max_dets=8,
+                              min_conf=0.0)
+    tlwh, conf, vmask = detect(frames[0])
+    assert tlwh.shape == (8, 4) and conf.shape == (8,)
+    assert vmask.dtype == bool
