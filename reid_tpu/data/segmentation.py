@@ -95,3 +95,66 @@ def batched_extraction(seg_apply, variables, images: jnp.ndarray,
         return extract_foreground_background(imgs, masks, blur_background)
 
     return run(variables, images)
+
+
+def train_segmenter(images, masks, epochs: int = 10, batch_size: int = 16,
+                    lr: float = 1e-3, base: int = 32, seed: int = 0,
+                    log_fn=print):
+    """Train SegUNet on (image, person-mask) pairs with BCE + soft-Dice.
+
+    Stands in for the reference's torch.hub-pretrained DeepLabV3 in a
+    zero-egress build: supervise on any person-mask source (e.g. bbox
+    rectangles from tracking gt, or real mask annotations). images
+    (N, H, W, 3) uint8/float [0,255]; masks (N, H, W) in {0, 1}.
+    Returns (model, variables, losses).
+    """
+    import optax
+    import numpy as np
+
+    images = np.asarray(images)
+    masks = np.asarray(masks, np.float32)
+    model = SegUNet(base=base)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(seed), jnp.zeros((2, *images.shape[1:])))
+    tx = optax.adam(lr)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, imgs, m):
+        x = imgs.astype(jnp.float32) / 255.0
+
+        def loss_fn(p):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"])
+            logits = logits[..., 0].astype(jnp.float32)
+            bce = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, m))
+            prob = jax.nn.sigmoid(logits)
+            inter = jnp.sum(prob * m, axis=(1, 2))
+            dice = 1.0 - jnp.mean(
+                (2.0 * inter + 1.0)
+                / (jnp.sum(prob, axis=(1, 2)) + jnp.sum(m, axis=(1, 2)) + 1.0))
+            return bce + dice, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_stats, new_opt,
+                loss)
+
+    rng = np.random.default_rng(seed)
+    losses = []
+    for epoch in range(epochs):
+        order = rng.permutation(len(images))
+        ep = []
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            b = order[s:s + batch_size]
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state,
+                jnp.asarray(images[b]), jnp.asarray(masks[b]))
+            ep.append(float(loss))
+        losses.append(float(np.mean(ep)))
+        log_fn(f"segmenter epoch {epoch}: loss={losses[-1]:.4f}")
+    return model, {"params": params, "batch_stats": batch_stats}, losses

@@ -86,3 +86,33 @@ def test_segmentation_extraction(rng):
     # blur actually smooths
     blurred = gaussian_blur(x)
     assert float(jnp.var(blurred)) < float(jnp.var(x))
+
+
+def test_train_segmenter_learns_bright_fg(rng):
+    """train_segmenter converges on a separable FG/BG task and the learned
+    masks drive extract_foreground_background (DeepLabV3 role without hub
+    weights)."""
+    from reid_tpu.data.segmentation import batched_extraction, train_segmenter
+
+    n, h, w = 16, 32, 24
+    images = rng.integers(0, 40, (n, h, w, 3)).astype(np.uint8)
+    masks = np.zeros((n, h, w), np.float32)
+    for i in range(n):
+        y, x = 4 + i % 6, 3 + i % 5
+        images[i, y:y + 16, x:x + 10] = 220     # bright person blob
+        masks[i, y:y + 16, x:x + 10] = 1.0
+    model, variables, losses = train_segmenter(
+        images, masks, epochs=25, batch_size=8, base=8, lr=3e-3,
+        log_fn=lambda *_: None)
+    assert losses[-1] < losses[0] * 0.35
+
+    import jax.numpy as jnp
+    out = batched_extraction(
+        lambda v, x, train: model.apply(v, x, train=train),
+        variables, jnp.asarray(images[:4], jnp.float32) / 255.0,
+        blur_background=False)
+    out = np.asarray(out)
+    # foreground intensity preserved, background mostly suppressed
+    fg = masks[:4] > 0.5
+    assert out[fg[..., None].repeat(3, -1)].mean() > 0.4
+    assert out[~fg[..., None].repeat(3, -1)].mean() < 0.1
