@@ -37,23 +37,44 @@ class ReIDTrainState:
 
 
 def make_optimizers(cfg: Config, steps_per_epoch: int):
-    """Model: Adam(3.5e-4, wd 5e-4) under PK sampling else SGD-nesterov 0.01
-    (ref image_reid_train.py:51-56), with global-norm clip 10 (ref :87) and
-    the WarmUpCosine schedule. Centers: SGD(0.5) with 1/lamda grad rescale."""
+    """Model optimizer, per reference branch:
+
+    * CNN loops (train_cnn, ref image_reid_train.py:51-56): Adam(3.5e-4,
+      wd 5e-4) under PK sampling else SGD-nesterov(0.01), global-norm
+      clip 10 (ref :87), WarmUpCosine schedule.
+    * transformer loop (train_transformer_model, ref :271-277): the
+      branch is INVERTED — plain SGD(0.008, wd 1e-4) under PK sampling
+      else Adam(0.01, wd 1e-4), WarmUpCosine.
+
+    Centers: SGD(0.5) with 1/lamda grad rescale (ref :310-312).
+    """
+    transformer = cfg.model.backbone in ("vit", "swin_v1", "swin_v2")
+    if transformer:
+        base_lr = 0.008 if cfg.train.num_instances > 0 else 0.01
+        wd = 1e-4
+    else:
+        base_lr, wd = cfg.train.lr, cfg.train.weight_decay
     schedule = warmup_cosine_schedule(
-        cfg.train.lr, cfg.train.epochs, steps_per_epoch,
+        base_lr, cfg.train.epochs, steps_per_epoch,
         cfg.train.warmup_epochs, cfg.train.hold_epochs, cfg.train.eta_min,
     )
-    if cfg.train.num_instances > 0:
+    use_adam = (cfg.train.num_instances > 0) != transformer
+    if use_adam:
         # torch.optim.Adam(weight_decay=...) is L2-into-grad, NOT decoupled
         # AdamW — match the reference exactly (image_reid_train.py:53).
         opt = optax.chain(
-            optax.add_decayed_weights(cfg.train.weight_decay),
+            optax.add_decayed_weights(wd),
             optax.adam(schedule),
+        )
+    elif transformer:
+        # plain SGD, no momentum (ref :274)
+        opt = optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.sgd(schedule),
         )
     else:
         opt = optax.chain(
-            optax.add_decayed_weights(cfg.train.weight_decay),
+            optax.add_decayed_weights(wd),
             optax.sgd(schedule, momentum=0.9, nesterov=True),
         )
     tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), opt)

@@ -152,3 +152,38 @@ def test_plr_dual_branch_train_step(rng):
     # both center tables updated independently
     assert state.loss1.centers.shape == (4, 2048)
     assert state.loss2.centers.shape == (4, 512)
+
+
+def test_transformer_optimizer_branch():
+    """Transformer backbones invert the optimizer branch (ref
+    train_transformer_model: SGD 0.008 under PK vs the CNN loop's Adam)."""
+    import optax
+    from reid_tpu.config import Config, ModelConfig, TrainConfig
+    from reid_tpu.train.state import make_optimizers
+
+    def labels(cfg):
+        tx, _ = make_optimizers(cfg, steps_per_epoch=10)
+        return tx
+
+    cnn_pk = Config(model=ModelConfig(backbone="seres18"),
+                    train=TrainConfig(num_instances=4))
+    vit_pk = Config(model=ModelConfig(backbone="vit"),
+                    train=TrainConfig(num_instances=4))
+    vit_no = Config(model=ModelConfig(backbone="vit"),
+                    train=TrainConfig(num_instances=0))
+    # all build and initialize against a tiny param tree
+    import jax.numpy as jnp
+    params = {"w": jnp.zeros((3, 3))}
+    for cfg in (cnn_pk, vit_pk, vit_no):
+        tx, center_tx = make_optimizers(cfg, 10)
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones((3, 3))}, state, params)
+        assert jnp.all(jnp.isfinite(updates["w"]))
+    # adam state (mu/nu) present for cnn_pk and vit_no, absent for vit_pk
+    def has_adam(cfg):
+        tx, _ = make_optimizers(cfg, 10)
+        return "ScaleByAdamState" in str(type(tx.init(params)[1]).__name__) \
+            or "adam" in str(tx.init(params)).lower()
+    assert has_adam(cnn_pk)
+    assert not has_adam(vit_pk)
+    assert has_adam(vit_no)
