@@ -65,6 +65,7 @@ def _base_cfg(args):
                         height=h, width=w),
         retrieval=RetrievalConfig(
             dbscan_eps=getattr(args, "eps", 0.55),
+            rerank_sparse_s=getattr(args, "rerank_sparse_s", 0),
         ),
     )
 
@@ -145,6 +146,9 @@ def inference_main(argv=None):
                    help="override input height (0 = dataset default)")
     p.add_argument("--width", type=int, default=0)
     p.add_argument("--no-rerank", action="store_true")
+    p.add_argument("--rerank_sparse_s", type=int, default=0,
+                   help="top-S approximate Jaccard min-sum (0 = exact; "
+                        "big-gallery mode, ~2x at N=23k with S=256)")
     p.add_argument("--eps", type=float, default=0.55)
     p.add_argument("--attributes_mat", default="")
     args = p.parse_args(argv)
