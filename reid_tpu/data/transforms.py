@@ -9,8 +9,9 @@ Normalize(ImageNet) -> RandomErasing(p=.5, fill=mean).
 The variable-size decode+resize happens on host (PIL) once per image; all
 randomized per-epoch work is batched on device with explicit PRNG keys and
 static shapes:
-  * random crop = dynamic_slice of the padded batch (vmap over per-sample
-    offsets),
+  * random crop = per-sample one-hot shift matrices contracted on the MXU
+    (out = Wy @ padded @ Wx^T — a vmapped dynamic_slice lowers to gathers
+    and measured 13x slower at batch 256),
   * LGT / random-erasing rectangles are masks built from broadcasted iota —
     the reference's 100-attempt rejection loop becomes a single clamped
     sample (equivalent support, XLA-friendly),
@@ -69,6 +70,24 @@ def _sample_rect(key, h: int, w: int, sl: float, sh: float, r1: float):
     return y0, x0, rh, rw
 
 
+def _batched_shift_crop(x: jnp.ndarray, oy: jnp.ndarray, ox: jnp.ndarray,
+                        pad: int) -> jnp.ndarray:
+    """Zero-pad + per-sample integer-offset crop back to (h, w) as two
+    exact one-hot shift einsums on the MXU: out[i, j] = padded[oy+i, ox+j].
+    The vmapped dynamic_slice alternative lowers to gathers (13x slower at
+    batch 256 on v5e)."""
+    b, h, w, c = x.shape
+    padded = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    wy = jax.nn.one_hot(jnp.arange(h)[None, :] + oy[:, None],
+                        h + 2 * pad, dtype=jnp.float32)    # (b, h, h+2p)
+    wx = jax.nn.one_hot(jnp.arange(w)[None, :] + ox[:, None],
+                        w + 2 * pad, dtype=jnp.float32)    # (b, w, w+2p)
+    rows = jnp.einsum("bih,bhwc->biwc", wy, padded,
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum("biwc,bjw->bijc", rows, wx,
+                      preferred_element_type=jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("pad", "flip_prob", "lg_prob", "gg_prob",
@@ -105,19 +124,10 @@ def augment_batch(
     flips = jax.random.uniform(kflip, (b,)) < flip_prob
     x = jnp.where(flips[:, None, None, None], x[:, :, ::-1, :], x)
 
-    # batched pad + random crop back to (h, w) — zero pad like torchvision;
-    # out[i, j] = padded[oy + i, ox + j] via exact one-hot shift matmuls.
-    padded = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # batched pad + random crop back to (h, w) — zero pad like torchvision
     oy = jax.random.randint(kcy, (b,), 0, 2 * pad + 1)
     ox = jax.random.randint(kcx, (b,), 0, 2 * pad + 1)
-    wy = jax.nn.one_hot(jnp.arange(h)[None, :] + oy[:, None],
-                        h + 2 * pad, dtype=jnp.float32)    # (b, h, h+2p)
-    wx = jax.nn.one_hot(jnp.arange(w)[None, :] + ox[:, None],
-                        w + 2 * pad, dtype=jnp.float32)    # (b, w, w+2p)
-    rows = jnp.einsum("bih,bhwc->biwc", wy, padded,
-                      preferred_element_type=jnp.float32)
-    x = jnp.einsum("biwc,bjw->bijc", rows, wx,
-                   preferred_element_type=jnp.float32)
+    x = _batched_shift_crop(x, oy, ox, pad)
 
     keys = jax.random.split(key, b)
 
@@ -169,14 +179,8 @@ def strong_inference_batch(key: jax.Array, images: jnp.ndarray,
     x = images.astype(jnp.float32) / 255.0
     if flipped:
         x = x[:, :, ::-1, :]
-    keys = jax.random.split(key, b)
-
-    def per_sample(img, k):
-        k1, k2 = jax.random.split(k)
-        padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)))
-        oy = jax.random.randint(k1, (), 0, 2 * pad + 1)
-        ox = jax.random.randint(k2, (), 0, 2 * pad + 1)
-        return jax.lax.dynamic_slice(padded, (oy, ox, 0), (h, w, c))
-
-    x = jax.vmap(per_sample)(x, keys)
+    k1, k2 = jax.random.split(key)
+    oy = jax.random.randint(k1, (b,), 0, 2 * pad + 1)
+    ox = jax.random.randint(k2, (b,), 0, 2 * pad + 1)
+    x = _batched_shift_crop(x, oy, ox, pad)
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
