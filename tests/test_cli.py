@@ -203,3 +203,50 @@ def test_track_cli_builtin_detector(tmp_path):
                        "--num_classes", "8", "--max_dets", "8",
                        "--det_size", "96", "128"])
     assert rows >= 0 and out.exists()
+
+
+def _mini_market(tmp_path, rng, n_ids=2, n_imgs=6):
+    from PIL import Image
+    for sub, n in {"bounding_box_train": n_imgs, "query": 1,
+                   "bounding_box_test": 2}.items():
+        d = tmp_path / sub
+        d.mkdir(exist_ok=True)
+        for i in range(n):
+            pid = 7 + (i % n_ids)
+            arr = rng.integers(0, 255, (64, 32, 3), np.uint8)
+            Image.fromarray(arr).save(
+                d / f"{pid:04d}_c{(i % 4) + 1}s1_{i:06d}_00.jpg")
+
+
+def test_gan_cli_per_group_end_to_end(tmp_path, monkeypatch, rng):
+    """synthetic_main --groups 2: k-means split -> per-group training ->
+    per-group checkpoints -> sampled images on disk."""
+    _mini_market(tmp_path, rng, n_imgs=10)
+    monkeypatch.chdir(tmp_path)
+    from reid_tpu.cli import gan_main
+    gan_main(["--root", str(tmp_path), "--bs", "4", "--epochs", "1",
+              "--nz", "8", "--ngf", "4", "--ndf", "4", "--groups", "2",
+              "--n_images", "4", "--out", str(tmp_path / "synth"),
+              "--ckpt_dir", str(tmp_path / "ckpt")])
+    import glob
+    gen = sorted(glob.glob(str(tmp_path / "synth" / "gen_*.jpg")))
+    assert len(gen) == 4
+    assert (tmp_path / "ckpt" / "gan_group0").exists()
+    assert (tmp_path / "ckpt" / "gan_group1").exists()
+
+
+def test_lsro_cli_end_to_end(tmp_path, monkeypatch, rng):
+    """train_baseline: real + gen_* images -> LSRO training runs."""
+    from PIL import Image
+    _mini_market(tmp_path, rng, n_imgs=6)
+    gen_dir = tmp_path / "synth"
+    gen_dir.mkdir()
+    for i in range(4):
+        arr = rng.integers(0, 255, (128, 64, 3), np.uint8)
+        Image.fromarray(arr).save(gen_dir / f"gen_{i:05d}.jpg")
+    monkeypatch.chdir(tmp_path)
+    from reid_tpu.cli import lsro_main
+    state, hist = lsro_main(["--root", str(tmp_path),
+                             "--gen_dir", str(gen_dir),
+                             "--bs", "4", "--epochs", "1"])
+    assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
