@@ -353,6 +353,8 @@ def track_main(argv=None):
                    help="CenterNetLite detector checkpoint")
     p.add_argument("--det_size", type=int, nargs=2, default=(288, 512),
                    metavar=("H", "W"), help="detector input resolution")
+    p.add_argument("--det_base", type=int, default=32,
+                   help="CenterNetLite width (must match --det_ckpt)")
     p.add_argument("--backbone", default="seres18")
     p.add_argument("--num_classes", type=int, default=751)
     p.add_argument("--tracking_method", default="strongsort",
@@ -421,7 +423,7 @@ def track_main(argv=None):
         from .train.detector_train import make_detector_fn
 
         det_hw = tuple(args.det_size)
-        det_model = CenterNetLite()
+        det_model = CenterNetLite(base=args.det_base)
         dvars = jax.jit(lambda k, x: det_model.init(k, x, train=True))(
             jax.random.PRNGKey(1), jnp.zeros((1, *det_hw, 3)))
         if args.det_ckpt:

@@ -64,12 +64,13 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     flat_tgt, treedef = jax.tree_util.tree_flatten_with_path(tgt_arrays)
     res_by_key = {_key_tokens(kp): v for kp, v in
                   jax.tree_util.tree_flatten_with_path(restored)[0]}
-    merged, n_key_hit = [], 0
+    merged, n_key_hit, n_restored = [], 0, 0
     for kp, v in flat_tgt:
         r = res_by_key.get(_key_tokens(kp))
         if r is not None:
             n_key_hit += 1
         if r is not None and np.shape(r) == np.shape(v):
+            n_restored += 1
             merged.append(jax.numpy.asarray(r, dtype=v.dtype)
                           if hasattr(v, "dtype") else r)
         else:
@@ -79,6 +80,15 @@ def restore_checkpoint(path: str, target: Any) -> Any:
             f"restore_checkpoint({path}): no checkpoint leaf matched the "
             f"target structure ({len(flat_tgt)} target leaves) — refusing to "
             "silently return fresh-init values")
+    if len(flat_tgt) > 1 and n_restored == 0:
+        # a single-leaf mismatch is the legitimate classifier-resize recovery
+        # (ref image_reid_inference.py:220-233); a whole model of key hits
+        # with zero shape matches means the checkpoint was written for a
+        # different configuration (e.g. width/base/num_classes).
+        raise ValueError(
+            f"restore_checkpoint({path}): {n_key_hit} leaves matched by key "
+            "but EVERY shape mismatched — wrong model configuration; "
+            "refusing to silently return fresh-init values")
     arrays = jax.tree_util.tree_unflatten(treedef, merged)
     return _merge_arrays(target, arrays)
 

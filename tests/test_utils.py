@@ -158,3 +158,15 @@ def test_export_tracking_chunk_artifact(tmp_path):
                                rtol=1e-5, atol=1e-5)      # out tlwh
     np.testing.assert_array_equal(np.asarray(got[6]),
                                   np.asarray(want[6]))    # track ids
+
+
+def test_checkpoint_all_shapes_mismatched_raises(tmp_path):
+    """A checkpoint from a different model width must not silently restore
+    nothing (regression: track --det_ckpt with the wrong --det_base ran a
+    fresh-init detector)."""
+    state = {"a": jnp.ones((4, 5)), "b": jnp.ones((3,))}
+    p = str(tmp_path / "ckpt3")
+    save_checkpoint(p, state)
+    target = {"a": jnp.zeros((8, 10)), "b": jnp.zeros((6,))}
+    with pytest.raises(ValueError, match="EVERY shape mismatched"):
+        restore_checkpoint(p, target)
