@@ -56,7 +56,7 @@ def bench_embed(model, variables, batch=256):
     return batch * iters / dt
 
 
-def bench_tracking(model, variables, chunk=32, max_dets=32):
+def bench_tracking(model, variables, chunk=64, max_dets=32):
     """End-to-end tracking fps: one fused chunk program (crop+embed+
     associate), MOT16-like density (16 targets/frame), inputs staged in HBM."""
     from reid_tpu.config import TrackerConfig
