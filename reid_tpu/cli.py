@@ -258,8 +258,9 @@ def gan_main(argv=None):
 
     raw = Market1501(args.root)
     ds = ReIDDataset(raw.train + raw.gallery, raw.num_train_pids, 128, 64)
+    # stays uint8 in host RAM (~1/4 the float32 size); the drivers
+    # normalize to [-1, 1] per batch
     images = np.stack([ds.load_image(i) for i in range(len(ds))])
-    images = images.astype(np.float32) / 127.5 - 1.0
 
     if args.vae:
         vae, state = train_vaegan(images, epochs=args.epochs,
@@ -313,15 +314,15 @@ def lsro_main(argv=None):
 
     raw = Market1501(args.root)
     ds = ReIDDataset(raw.train, raw.num_train_pids, 128, 64)
+    # uint8 in host RAM; the driver normalizes per batch
     real = np.stack([ds.load_image(i) for i in range(len(ds))])
-    real = real.astype(np.float32) / 127.5 - 1.0
 
     gen_files = sorted(glob.glob(os.path.join(args.gen_dir, "gen_*")))
     if not gen_files:
         p.error(f"no gen_* images under {args.gen_dir}")
     gen = np.stack([
         np.asarray(Image.open(f).convert("RGB").resize((64, 128)))
-        for f in gen_files]).astype(np.float32) / 127.5 - 1.0
+        for f in gen_files])
 
     state, history = train_lsro_baseline(
         real, ds.labels, gen, num_classes=raw.num_train_pids,
@@ -345,12 +346,21 @@ def track_main(argv=None):
                         "(ref --source, track_yolov5.py:141-160)")
     p.add_argument("--detections", default="",
                    help="MOT-format det file; omit to run the built-in "
-                        "CenterNetLite detector on --source frames")
+                        "detector (--detector) on --source frames")
     p.add_argument("--frames_dir", default="",
                    help="alias for --source <frame directory>")
     p.add_argument("--ckpt", default="")
+    p.add_argument("--detector", default="centernet",
+                   choices=["centernet", "yolov5"],
+                   help="built-in detector family (ref --yolo-weights role, "
+                        "track_yolov5.py:135)")
+    p.add_argument("--yolo_variant", default="yolov5s",
+                   help="yolov5 width/depth variant (n/s/m/l/x or p)")
     p.add_argument("--det_ckpt", default="",
-                   help="CenterNetLite detector checkpoint")
+                   help="detector checkpoint (orbax)")
+    p.add_argument("--det_torch", default="",
+                   help="torch yolov5*.pt state_dict to convert "
+                        "(utils.torch_convert.convert_yolov5)")
     p.add_argument("--det_size", type=int, nargs=2, default=(288, 512),
                    metavar=("H", "W"), help="detector input resolution")
     p.add_argument("--det_base", type=int, default=32,
@@ -408,7 +418,12 @@ def track_main(argv=None):
         return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
                                1e-12)
 
-    feat_dim = 512 + args.num_classes
+    # derive the tracker's feature width from a probe forward — eval feature
+    # sizes differ per backbone (seres18 512, plr_osnet 2560, vit 384,
+    # swin 96, agw/resnet50 2048) before the logits concat
+    probe = embed_fn(variables["params"], variables.get("batch_stats", {}),
+                     jnp.zeros((1, *cfg.crop_hw, 3), jnp.float32))
+    feat_dim = int(probe.shape[-1])
     pipe = TrackingPipeline(cfg, embed_fn, variables["params"],
                             variables.get("batch_stats", {}), feat_dim)
 
@@ -418,6 +433,25 @@ def track_main(argv=None):
     if args.detections:
         dets = load_mot_detections(args.detections, cfg.max_dets,
                                    min_conf=args.conf_thres)
+    elif args.detector == "yolov5":
+        from .models.yolo import build_yolo, make_yolo_detector_fn
+
+        det_hw = tuple(args.det_size)
+        det_model = build_yolo(args.yolo_variant, num_classes=1,
+                               dtype=jnp.bfloat16)
+        dvars = jax.jit(lambda k, x: det_model.init(k, x, train=False))(
+            jax.random.PRNGKey(1), jnp.zeros((1, *det_hw, 3)))
+        if args.det_torch:
+            from .utils.torch_convert import (convert_yolov5,
+                                              load_torch_state_dict)
+            dvars = convert_yolov5(load_torch_state_dict(args.det_torch),
+                                   dvars)
+        elif args.det_ckpt:
+            from .utils import restore_checkpoint
+            dvars = restore_checkpoint(args.det_ckpt, dvars)
+        detect = make_yolo_detector_fn(det_model, dvars, det_hw,
+                                       max_dets=cfg.max_dets,
+                                       conf_thres=args.conf_thres)
     else:
         from .models.detector import CenterNetLite
         from .train.detector_train import make_detector_fn

@@ -26,7 +26,10 @@ def get_attributes(mat_path: str, split: str = "test") -> Tuple[np.ndarray, np.n
     table = root[split][0][0] if root.dtype.names else root[
         {"train": 1, "test": 0}[split]][0][0]
     names = table.dtype.names
-    ids = np.asarray([int(v) for v in table["image_index"][0]])
+    # .mat cells arrive as 0-d or 1-element arrays; flatten before int()
+    # (int(ndim>0 array) is deprecated and will become a TypeError)
+    ids = np.asarray([int(np.asarray(v).reshape(-1)[0])
+                      for v in table["image_index"][0]])
     cols = []
     for name in names:
         if name == "image_index":

@@ -89,6 +89,17 @@ def _epoch_batches(n: int, bs: int, rng: np.random.Generator):
         yield order[s:s + bs]
 
 
+def _as_pm1(batch: np.ndarray) -> np.ndarray:
+    """Normalize a uint8 image batch to [-1, 1] float32 (pass floats through).
+
+    Keeping the full dataset uint8 in host RAM and normalizing per batch here
+    keeps gan_main/lsro_main at ~1/4 the resident size (Market1501 train+
+    gallery as float32 is ~3 GB on this single-host setup)."""
+    if batch.dtype == np.uint8:
+        return batch.astype(np.float32) / 127.5 - 1.0
+    return np.asarray(batch, np.float32)
+
+
 def train_gan_groups(
     images: np.ndarray,
     groups: Optional[np.ndarray] = None,
@@ -110,7 +121,7 @@ def train_gan_groups(
     Saves `gan_group{g}` orbax checkpoints under `checkpoint_dir` when given
     (ref `checkpoint/Generate_model_trained_group{g}.pt`).
     """
-    images = np.asarray(images, np.float32)
+    images = np.asarray(images)
     if groups is None:
         groups = np.zeros(len(images), np.int64)
     gen = Generator(nz=nz, ngf=ngf)
@@ -126,8 +137,10 @@ def train_gan_groups(
     for g in range(k):
         idx = np.flatnonzero(groups == g)
         if len(idx) < batch_size:
+            # no state for a skipped group (a previous group's generator
+            # must not silently stand in for it downstream)
             log_fn(f"group {g}: only {len(idx)} images (<bs); skipping")
-            group_states.append(state)
+            group_states.append(None)
             continue
         # fresh EMA per group (ref :309 re-registers EMA each group)
         state = state._replace(ema_params=state.g_params)
@@ -136,7 +149,7 @@ def train_gan_groups(
         metrics = {"d_loss": jnp.zeros(()), "g_loss": jnp.zeros(())}
         for epoch in range(epochs):
             for b in _epoch_batches(len(idx), batch_size, rng):
-                real = jnp.asarray(images[idx[b]])
+                real = jnp.asarray(_as_pm1(images[idx[b]]))
                 key, kk = jax.random.split(key)
                 state, metrics = step(state, real, kk)
             log_fn(f"[group {g}] epoch {epoch}: "
@@ -158,8 +171,13 @@ def generate_group_images(group_states: Sequence[GANState], n_per_group: int,
     gen = Generator(nz=nz, ngf=ngf)
     out = []
     for g, st in enumerate(group_states):
+        if st is None:  # group skipped during training (too few images)
+            continue
         out.append(generate_images(gen, st, jax.random.PRNGKey(seed + g),
                                    n_per_group, nz=nz, use_ema=use_ema))
+    if not out:
+        raise ValueError("no trained groups to sample from "
+                         "(every group was skipped)")
     return np.concatenate(out)
 
 
@@ -181,7 +199,11 @@ def train_vaegan(
     """Train the VAE-GAN; returns (vae, state). Sample via `sample_vaegan`."""
     import optax
 
-    images = np.asarray(images, np.float32)
+    images = np.asarray(images)
+    if len(images) < batch_size:
+        raise ValueError(
+            f"train_vaegan: {len(images)} images < batch_size {batch_size}; "
+            "no batch would ever run")
     vae = VAE(zdim=zdim)
     disc = Discriminator(wasserstein=wasserstein)
     vae_tx = optax.adam(lr, b1=0.5, b2=0.999)
@@ -196,7 +218,7 @@ def train_vaegan(
     for epoch in range(epochs):
         for b in _epoch_batches(len(images), batch_size, rng):
             key, kk = jax.random.split(key)
-            state, metrics = step(state, jnp.asarray(images[b]), kk)
+            state, metrics = step(state, jnp.asarray(_as_pm1(images[b])), kk)
         log_fn(f"epoch {epoch}: vae={float(metrics['vae_loss']):.3f} "
                f"recon={float(metrics['recon']):.3f} "
                f"d={float(metrics['d_loss']):.3f}")
@@ -246,8 +268,11 @@ def train_lsro_baseline(
 
     from ..models import build_model
 
-    real_images = np.asarray(real_images, np.float32)
-    gen_images = np.asarray(gen_images, np.float32)
+    real_images = np.asarray(real_images)
+    gen_images = np.asarray(gen_images)
+    if real_images.dtype != gen_images.dtype:
+        real_images = _as_pm1(real_images)
+        gen_images = _as_pm1(gen_images)
     n_real, n_gen = len(real_images), len(gen_images)
     images = np.concatenate([real_images, gen_images])
     labels = np.concatenate([np.asarray(real_labels, np.int64),
@@ -292,7 +317,7 @@ def train_lsro_baseline(
         for b in _epoch_batches(len(images), batch_size, rng):
             params, batch_stats, opt_state, loss, correct, n = step(
                 params, batch_stats, opt_state,
-                jnp.asarray(images[b]), jnp.asarray(labels[b]),
+                jnp.asarray(_as_pm1(images[b])), jnp.asarray(labels[b]),
                 jnp.asarray(flags[b]))
             tot_loss += float(loss)
             tot_correct += float(correct)

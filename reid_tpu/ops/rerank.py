@@ -103,18 +103,36 @@ def compute_jaccard_distance(
 
     # V: softmax of similarity over the expansion set (ref :199-207).
     # -dist = 2*sim - 2; the constant cancels inside softmax.
-    sim = jnp.dot(feats, feats.T, preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU f32 matmuls default to one-pass bf16 on the MXU
+    # (~1e-3 relative error) — too coarse for the similarity logits that set
+    # the V weights the reference computes in full f32.
+    sim = jnp.dot(feats, feats.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     logits = jnp.where(expansion, 2.0 * sim, -jnp.inf)
     v = jax.nn.softmax(logits, axis=1)
 
     # query expansion over the k2 original neighbors (ref :211-216).
     if k2 != 1:
         a = _topk_mask(initial_rank[:, :k2], n).astype(jnp.float32)
-        v = jnp.dot(a, v, preferred_element_type=jnp.float32) / k2
+        v = jnp.dot(a, v, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) / k2
+        # the dense min-sum identity below (sum_k min = 1 - L1/2) needs row
+        # sums EXACTLY 1; renormalize away the matmul rounding residue
+        v = v / jnp.sum(v, axis=1, keepdims=True)
 
     # min-sum: L1 identity (rows of v sum to 1) or top-S sparse gather.
     if sparse_s is not None and sparse_s < n:
-        tm = _minsum_topk(v, sparse_s)
+        # exactness guard: the top-S min-sum is exact only while every V row
+        # has <= S nonzeros. Support width depends on the data (k-reciprocal
+        # expansion sets), so detect overflow at runtime and fall back to the
+        # dense path — sparse_s may speed things up but must never silently
+        # change retrieval results.
+        max_support = jnp.max(jnp.sum(v > 0.0, axis=1))
+        tm = jax.lax.cond(
+            max_support <= sparse_s,
+            lambda: _minsum_topk(v, sparse_s),
+            lambda: 1.0 - 0.5 * pairwise_l1(v, v),
+        )
     else:
         tm = 1.0 - 0.5 * pairwise_l1(v, v)
     jaccard = 1.0 - tm / (2.0 - tm)
@@ -199,7 +217,8 @@ def compute_jaccard_distance_sharded(
                     r_half_full.astype(jnp.float32),
                     preferred_element_type=jnp.float32) > 0)
         sim = jnp.dot(feats_blk, feats_all.T,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         logits = jnp.where(expansion, 2.0 * sim, -jnp.inf)
         return jax.nn.softmax(logits, axis=1)          # (N/p, N) rows of V
 
@@ -213,8 +232,11 @@ def compute_jaccard_distance_sharded(
     if k2 != 1:
         # query expansion needs arbitrary rows of V -> all-gather inside
         def qe(a_rows, v_all):
-            return jnp.dot(a_rows, v_all,
-                           preferred_element_type=jnp.float32) / k2
+            out = jnp.dot(a_rows, v_all,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST) / k2
+            # keep row sums exactly 1 for the L1 min-sum identity
+            return out / jnp.sum(out, axis=1, keepdims=True)
         v = shard_map(qe, mesh, in_specs=(P(axis, None), P()),
                       out_specs=P(axis, None))(a_qe, v)
 
@@ -236,6 +258,14 @@ def jaccard_distance(features: jnp.ndarray, k1: int = 20, k2: int = 6,
     inference/pseudo-label drivers call. `sparse_s` selects the top-S
     approximate min-sum on the single-device path (2.1x at N=23k, S=256)."""
     if mesh is not None and mesh.devices.size > 1:
+        if sparse_s:
+            import warnings
+
+            warnings.warn(
+                "jaccard_distance: sparse_s is not implemented on the "
+                "multi-device mesh path; using the dense row-sharded "
+                "Jaccard (results are exact, just not top-S accelerated)",
+                stacklevel=2)
         return compute_jaccard_distance_sharded(mesh, features, k1=k1, k2=k2)
     return compute_jaccard_distance(features, k1=k1, k2=k2,
                                     sparse_s=sparse_s)

@@ -126,7 +126,9 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
         if crop_budget is not None and crop_budget < t * d:
             b = crop_budget
             flat_valid = valid.reshape(t * d)
-            score = jnp.where(flat_valid, conf.reshape(t * d), -1.0)
+            # -inf sentinel: gt-style det files carry conf=-1, which must
+            # still outrank every invalid slot in the top-k selection
+            score = jnp.where(flat_valid, conf.reshape(t * d), -jnp.inf)
             sel = jax.lax.top_k(score, b)[1]               # (B,) slot ids
             feats_b = embed_fn(params, batch_stats, crops[sel])
             fdim = feats_b.shape[-1]

@@ -181,3 +181,18 @@ def test_jaccard_sparse_topk_matches_dense(rng):
     d2 = np.asarray(compute_jaccard_distance(f2, k1=10, k2=3))
     s2 = np.asarray(compute_jaccard_distance(f2, k1=10, k2=3, sparse_s=64))
     assert np.max(np.abs(d2 - s2)) < 1e-5
+
+
+def test_jaccard_sparse_overflow_falls_back_to_dense(rng):
+    """When V rows carry more than S nonzeros the runtime guard must route
+    to the exact dense min-sum — sparse_s may never silently change
+    retrieval results (ops/rerank.py exactness guard)."""
+    from reid_tpu.ops.rerank import compute_jaccard_distance
+
+    # one tight blob: everybody is everybody's k-reciprocal neighbor, so the
+    # expansion support is ~N wide — far beyond S=8
+    feats = rng.normal(size=(64, 16)) * 0.01
+    f = jnp.asarray(feats, jnp.float32)
+    dense = np.asarray(compute_jaccard_distance(f, k1=20, k2=6))
+    sparse = np.asarray(compute_jaccard_distance(f, k1=20, k2=6, sparse_s=8))
+    assert np.max(np.abs(dense - sparse)) < 1e-6
