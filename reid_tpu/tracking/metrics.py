@@ -5,29 +5,39 @@ The reference scores tracking through the external TrackEval repo
 provides the same headline metrics natively so sequences can be scored
 in-framework (and in tests) without TrackEval.
 
-Semantics follow the standard definitions (Bernardin & Stiefelhagen CLEAR
-MOT; Ristani et al. identity metrics):
-  * per-frame GT<->hyp correspondence at IoU >= `iou_thr`, preferring the
-    previous frame's correspondence (continuity) and completing with a
-    Hungarian assignment on IoU,
-  * MOTA = 1 - (FN + FP + IDSW) / num_gt;  MOTP = mean IoU of matches (x100),
-  * IDSW counts a matched GT whose hyp id differs from its last matched id,
-  * Frag counts matched->unmatched->matched interruptions per GT track,
-  * IDF1 from a global bipartite match of (gt id, hyp id) pairs maximizing
-    co-detections: IDF1 = 2*IDTP / (total gt boxes + total hyp boxes).
+Semantics follow TrackEval's algorithms exactly (property-tested against an
+independent oracle in tests/test_metrics.py):
+
+CLEAR (Bernardin & Stiefelhagen, TrackEval clear.py):
+  * per frame, score = 1000 * [hyp id == gt's previous-TIMESTEP match]
+    + IoU, with entries below the 0.5 IoU threshold zeroed (the continuity
+    bonus cannot rescue a sub-threshold overlap); one Hungarian assignment
+    maximizes the score, and pairs with positive score are the TPs,
+  * MOTA = 1 - (FN + FP + IDSW) / num_gt;  MOTP = mean IoU of TPs (x100),
+  * IDSW counts a TP whose gt's last-ever matched hyp id differs,
+  * Frag = (number of contiguous matched runs - 1) summed over gt tracks.
+
+Identity (Ristani et al., TrackEval identity.py):
+  * co-occurrence counts over ALL IoU-feasible (gt id, hyp id) pairs per
+    frame — independent of the CLEAR per-frame matching,
+  * one global max-weight bipartite matching over id pairs gives IDTP;
+    IDF1 = 2*IDTP / (total gt boxes + total hyp boxes), IDP = IDTP/num_hyp,
+    IDR = IDTP/num_gt.
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
+
+_EPS = np.finfo(np.float64).eps
 
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if len(a) == 0 or len(b) == 0:
-        return np.zeros((len(a), len(b)), np.float32)
+        return np.zeros((len(a), len(b)), np.float64)
     tl = np.maximum(a[:, None, :2], b[None, :, :2])
     br = np.minimum(a[:, None, :2] + a[:, None, 2:4],
                     b[None, :, :2] + b[None, :, 2:4])
@@ -45,22 +55,21 @@ def evaluate_clear_identity(
 ) -> Dict[str, float]:
     """gt_frames / hyp_frames: {frame: (tlwh (N,4), ids (N,))}.
 
-    Returns dict with MOTA, MOTP, IDSW, Frag, FP, FN, IDF1, num_gt.
+    Returns dict with MOTA, MOTP, IDSW, Frag, FP, FN, TP, IDF1, IDP, IDR,
+    num_gt.
     """
     from scipy.optimize import linear_sum_assignment
 
     frames = sorted(set(gt_frames) | set(hyp_frames))
-    last_hyp_of_gt: Dict[int, int] = {}       # gt id -> last matched hyp id
-    gt_matched_prev: Dict[int, bool] = {}     # gt id -> matched in prev frame seen
-    gt_interrupted: Dict[int, bool] = {}      # gt id -> currently in a gap
-    fp = fn = idsw = frag = 0
+    prev_timestep: Dict[int, int] = {}   # gt id -> hyp matched LAST timestep
+    prev_ever: Dict[int, int] = {}       # gt id -> last hyp ever matched
+    match_runs: Dict[int, int] = defaultdict(int)   # gt id -> matched runs
+    in_run: Dict[int, bool] = defaultdict(bool)
+    fp = fn = tp = idsw = 0
     num_gt = num_hyp = 0
-    iou_sum = 0.0
-    n_matches = 0
-    # co-detection counts for IDF1
-    co = defaultdict(int)                     # (gt id, hyp id) -> matches
-    gt_count = defaultdict(int)
-    hyp_count = defaultdict(int)
+    motp_sum = 0.0
+    # Identity: ALL IoU-feasible co-occurrences (not CLEAR matches)
+    co = defaultdict(int)                # (gt id, hyp id) -> co-occurrences
 
     for f in frames:
         g_boxes, g_ids = gt_frames.get(f, (np.zeros((0, 4)), np.zeros(0, int)))
@@ -71,64 +80,58 @@ def evaluate_clear_identity(
         h_ids = np.asarray(h_ids, int)
         num_gt += len(g_ids)
         num_hyp += len(h_ids)
-        for gid in g_ids:
-            gt_count[int(gid)] += 1
-        for hid in h_ids:
-            hyp_count[int(hid)] += 1
 
         iou = _iou_matrix(g_boxes, h_boxes)
-        matched_g = np.full(len(g_ids), -1, int)   # index into hyp
-        used_h = np.zeros(len(h_ids), bool)
+        # TrackEval's thresholds: identity.py uses `>= thr`, clear.py zeroes
+        # `< thr - eps`; mirror both exactly
+        for gi, hj in zip(*np.nonzero(iou >= iou_thr)):
+            co[(int(g_ids[gi]), int(h_ids[hj]))] += 1
+        feasible = iou >= iou_thr - _EPS
 
-        # 1) continuity: keep previous correspondence when still valid
-        for gi, gid in enumerate(g_ids):
-            prev = last_hyp_of_gt.get(int(gid))
-            if prev is None:
-                continue
-            hj = np.flatnonzero(h_ids == prev)
-            if len(hj) and not used_h[hj[0]] and iou[gi, hj[0]] >= iou_thr:
-                matched_g[gi] = hj[0]
-                used_h[hj[0]] = True
-
-        # 2) Hungarian on the rest
-        free_g = np.flatnonzero(matched_g < 0)
-        free_h = np.flatnonzero(~used_h)
-        if len(free_g) and len(free_h):
-            sub = iou[np.ix_(free_g, free_h)]
-            rows, cols = linear_sum_assignment(-sub)
-            for r, c in zip(rows, cols):
-                if sub[r, c] >= iou_thr:
-                    matched_g[free_g[r]] = free_h[c]
-                    used_h[free_h[c]] = True
-
-        # 3) bookkeeping
-        for gi, gid in enumerate(g_ids):
-            gid = int(gid)
-            if matched_g[gi] >= 0:
-                hj = matched_g[gi]
-                hid = int(h_ids[hj])
-                if gid in last_hyp_of_gt and last_hyp_of_gt[gid] != hid:
+        matched_this = {}
+        if len(g_ids) and len(h_ids):
+            prev = np.asarray([prev_timestep.get(int(g), -1) for g in g_ids])
+            bonus = 1000.0 * (h_ids[None, :] == prev[:, None])
+            score = bonus + iou
+            score[~feasible] = 0.0
+            rows, cols = linear_sum_assignment(-score)
+            ok = score[rows, cols] > _EPS
+            for r, c in zip(rows[ok], cols[ok]):
+                gid, hid = int(g_ids[r]), int(h_ids[c])
+                if gid in prev_ever and prev_ever[gid] != hid:
                     idsw += 1
-                if gt_interrupted.get(gid):
-                    frag += 1
-                gt_interrupted[gid] = False
-                last_hyp_of_gt[gid] = hid
-                iou_sum += iou[gi, hj]
-                n_matches += 1
-                co[(gid, hid)] += 1
-            else:
-                fn += 1
-                if gid in last_hyp_of_gt:
-                    gt_interrupted[gid] = True
-        fp += int((~used_h).sum())
+                prev_ever[gid] = hid
+                matched_this[gid] = hid
+                motp_sum += iou[r, c]
+                tp += 1
 
-    # IDF1: global bipartite over id pairs maximizing IDTP
-    gids = sorted(gt_count)
-    hids = sorted(hyp_count)
+        fn += len(g_ids) - len(matched_this)
+        fp += len(h_ids) - len(matched_this)
+        # continuity bonus applies only to the immediately previous timestep
+        prev_timestep = matched_this
+        # Frag: count contiguous matched runs per gt over its PRESENCE frames
+        for gid in g_ids:
+            gid = int(gid)
+            if gid in matched_this:
+                if not in_run[gid]:
+                    match_runs[gid] += 1
+                in_run[gid] = True
+            else:
+                in_run[gid] = False
+
+    frag = sum(max(0, runs - 1) for runs in match_runs.values())
+
+    # Identity: global max-weight bipartite over id pairs (weights >= 0, so
+    # the rectangular assignment attains the max-weight matching)
+    gids = sorted({g for g, _ in co})
+    hids = sorted({h for _, h in co})
     if gids and hids:
         mat = np.zeros((len(gids), len(hids)))
+        gpos = {g: i for i, g in enumerate(gids)}
+        hpos = {h: j for j, h in enumerate(hids)}
         for (g, h), c in co.items():
-            mat[gids.index(g), hids.index(h)] = c
+            mat[gpos[g], hpos[h]] = c
+        from scipy.optimize import linear_sum_assignment
         rows, cols = linear_sum_assignment(-mat)
         idtp = mat[rows, cols].sum()
     else:
@@ -137,12 +140,15 @@ def evaluate_clear_identity(
 
     return {
         "MOTA": 100.0 * (1.0 - (fn + fp + idsw) / max(num_gt, 1)),
-        "MOTP": 100.0 * (iou_sum / max(n_matches, 1)),
+        "MOTP": 100.0 * (motp_sum / max(tp, 1)),
         "IDSW": float(idsw),
         "Frag": float(frag),
         "FP": float(fp),
         "FN": float(fn),
+        "TP": float(tp),
         "IDF1": 100.0 * idf1,
+        "IDP": 100.0 * idtp / max(num_hyp, 1),
+        "IDR": 100.0 * idtp / max(num_gt, 1),
         "num_gt": float(num_gt),
     }
 

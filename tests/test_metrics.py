@@ -145,3 +145,168 @@ def test_appearance_prevents_id_swap_on_crossing_targets():
     strong = run(TrackerConfig(max_tracks=16, max_dets=8, n_init=1))
     assert strong["IDSW"] == 0, strong
     assert strong["IDF1"] > 95.0, strong
+
+
+# ---------------------------------------------------------------------------
+# TrackEval-semantics golden parity: independent oracle transliterating
+# TrackEval's clear.py / identity.py (the scorer behind the reference's
+# MOT16_eval/eval.sh:107-109), property-tested on randomized crowded scenes.
+# ---------------------------------------------------------------------------
+
+def _oracle_clear_identity(gt_frames, hyp_frames, thr=0.5):
+    """Dense-array transliteration of TrackEval CLEAR + Identity."""
+    from scipy.optimize import linear_sum_assignment
+    from reid_tpu.tracking.metrics import _iou_matrix
+
+    eps = np.finfo(float).eps
+    frames = sorted(set(gt_frames) | set(hyp_frames))
+    all_gids = sorted({int(i) for f in gt_frames.values() for i in f[1]})
+    all_hids = sorted({int(i) for f in hyp_frames.values() for i in f[1]})
+    gpos = {g: i for i, g in enumerate(all_gids)}
+    hpos = {h: j for j, h in enumerate(all_hids)}
+    ng, nh = len(all_gids), len(all_hids)
+
+    prev_timestep = np.full(max(ng, 1), np.nan)  # hyp id matched last step
+    prev_ever = np.full(max(ng, 1), np.nan)
+    tracked = {g: [] for g in all_gids}          # presence-frame match flags
+    pot = np.zeros((max(ng, 1), max(nh, 1)))     # co-occurrence counts
+    tp = fp = fn = idsw = 0
+    num_gt = num_hyp = 0
+    motp_sum = 0.0
+
+    for f in frames:
+        gb, gi = gt_frames.get(f, (np.zeros((0, 4)), np.zeros(0, int)))
+        hb, hi = hyp_frames.get(f, (np.zeros((0, 4)), np.zeros(0, int)))
+        gb, hb = np.asarray(gb, float), np.asarray(hb, float)
+        gi = np.asarray(gi, int)
+        hi = np.asarray(hi, int)
+        num_gt += len(gi)
+        num_hyp += len(hi)
+        sim = _iou_matrix(gb, hb)
+        # Identity pools ALL feasible pairs
+        for a, b in zip(*np.nonzero(sim >= thr)):
+            pot[gpos[int(gi[a])], hpos[int(hi[b])]] += 1
+
+        matched_g = np.zeros(len(gi), bool)
+        matched_h = np.zeros(len(hi), bool)
+        new_prev = np.full(max(ng, 1), np.nan)
+        if len(gi) and len(hi):
+            prev_ids = prev_timestep[[gpos[int(g)] for g in gi]]
+            score = 1000.0 * (hi[None, :] == prev_ids[:, None]) + sim
+            score[sim < thr - eps] = 0.0
+            r, c = linear_sum_assignment(-score)
+            keep = score[r, c] > eps
+            for a, b in zip(r[keep], c[keep]):
+                gp = gpos[int(gi[a])]
+                if not np.isnan(prev_ever[gp]) and prev_ever[gp] != hi[b]:
+                    idsw += 1
+                prev_ever[gp] = hi[b]
+                new_prev[gp] = hi[b]
+                motp_sum += sim[a, b]
+                matched_g[a] = True
+                matched_h[b] = True
+            tp += int(keep.sum())
+        fn += int((~matched_g).sum())
+        fp += int((~matched_h).sum())
+        prev_timestep = new_prev
+        for a, g in enumerate(gi):
+            tracked[int(g)].append(bool(matched_g[a]))
+
+    frag = 0
+    for g, flags in tracked.items():
+        runs = 0
+        last = False
+        for fl in flags:
+            if fl and not last:
+                runs += 1
+            last = fl
+        frag += max(0, runs - 1)
+
+    if ng and nh:
+        r, c = linear_sum_assignment(-pot)
+        idtp = pot[r, c].sum()
+    else:
+        idtp = 0.0
+    return {
+        "MOTA": 100.0 * (1 - (fn + fp + idsw) / max(num_gt, 1)),
+        "MOTP": 100.0 * motp_sum / max(tp, 1),
+        "IDSW": float(idsw), "Frag": float(frag),
+        "FP": float(fp), "FN": float(fn), "TP": float(tp),
+        "IDF1": 200.0 * idtp / max(num_gt + num_hyp, 1),
+    }
+
+
+def _random_scene(rng, n_frames=40, n_gt=12, w=640, h=480):
+    """Crowded synthetic scene + corrupted hypothesis: drops, jitter, id
+    churn, false positives — the regimes where CLEAR/IDF1 semantics bite."""
+    gt, hyp = {}, {}
+    x = rng.uniform(0, w, n_gt)
+    y = rng.uniform(0, h, n_gt)
+    vx = rng.normal(0, 6, n_gt)
+    vy = rng.normal(0, 4, n_gt)
+    bw = rng.uniform(20, 45, n_gt)
+    bh = rng.uniform(40, 90, n_gt)
+    present = rng.random(n_gt) < 0.9
+    hyp_id = np.arange(n_gt) + 100
+    for f in range(1, n_frames + 1):
+        x = x + vx
+        y = y + vy
+        # occasional presence churn
+        flip = rng.random(n_gt) < 0.05
+        present = np.where(flip, ~present, present)
+        gt_rows, gt_ids, hyp_rows, hyp_ids = [], [], [], []
+        for i in range(n_gt):
+            if not present[i]:
+                continue
+            box = (x[i], y[i], bw[i], bh[i])
+            gt_rows.append(box)
+            gt_ids.append(i)
+            if rng.random() < 0.15:
+                continue  # detector miss
+            if rng.random() < 0.04:
+                hyp_id[i] = hyp_id.max() + 1  # tracker id churn
+            jit = rng.normal(0, 3, 4)
+            hyp_rows.append((box[0] + jit[0], box[1] + jit[1],
+                             max(5, box[2] + jit[2]),
+                             max(5, box[3] + jit[3])))
+            hyp_ids.append(int(hyp_id[i]))
+        # false positives
+        for _ in range(rng.integers(0, 3)):
+            hyp_rows.append((rng.uniform(0, w), rng.uniform(0, h),
+                             rng.uniform(15, 40), rng.uniform(30, 80)))
+            hyp_ids.append(int(rng.integers(500, 600)))
+        gt[f] = (np.asarray(gt_rows, float).reshape(-1, 4),
+                 np.asarray(gt_ids, int))
+        hyp[f] = (np.asarray(hyp_rows, float).reshape(-1, 4),
+                  np.asarray(hyp_ids, int))
+    return gt, hyp
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_clear_identity_matches_trackeval_oracle(seed):
+    rng = np.random.default_rng(seed)
+    gt, hyp = _random_scene(rng)
+    native = evaluate_clear_identity(gt, hyp)
+    oracle = _oracle_clear_identity(gt, hyp)
+    for k, v in oracle.items():
+        assert native[k] == pytest.approx(v, abs=1e-9), (
+            f"seed {seed}: {k} native={native[k]} oracle={v}")
+
+
+def test_identity_counts_feasible_pairs_not_clear_matches():
+    """The IDF1 co-occurrence pool must include (gt, hyp) pairs that CLEAR
+    did NOT match — two overlapping hyps over one gt both co-occur."""
+    gt = _frames({f: [(0, 0, 20, 40, 1)] for f in range(1, 11)})
+    # hyp 5 overlaps perfectly frames 1-10; hyp 6 overlaps (IoU ~0.82)
+    # frames 4-10 — CLEAR matches only one per frame, but Identity may pick
+    # whichever pairing maximizes IDTP globally.
+    hyp = {}
+    for f in range(1, 11):
+        rows = [(0, 0, 20, 40, 5)]
+        if f >= 4:
+            rows.append((0, 4, 20, 40, 6))
+        hyp[f] = (np.asarray([r[:4] for r in rows], float),
+                  np.asarray([r[4] for r in rows], int))
+    m = evaluate_clear_identity(gt, hyp)
+    # IDTP = 10 (gt1<->hyp5 co-occurs all 10 frames); num_hyp = 17
+    assert m["IDF1"] == pytest.approx(100.0 * 2 * 10 / (10 + 17))
