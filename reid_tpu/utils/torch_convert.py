@@ -301,6 +301,84 @@ def _osnet_bn(sd, prefix_t, blk_params, blk_stats, path):
     _set(blk_stats, path + ("var",), sd[prefix_t + ".running_var"])
 
 
+def convert_yolov5(state_dict: Mapping[str, Any], variables: Dict) -> Dict:
+    """Merge a yolov5-family torch state_dict into `models.yolo.YOLOv5`
+    variables (the reference's detection engine, ref track_yolov5.py:135
+    DetectMultiBackend + yolov5-crowdhuman weights).
+
+    Torch layout (DetectionModel.state_dict(), 'model.' prefix optional):
+      model.{i}.conv.weight / model.{i}.bn.*        plain Conv blocks
+      model.{i}.cv{1,2,3}.conv.weight, .m.{j}.cv*   C3 blocks
+      model.9.cv{1,2}.*                             SPPF
+      model.24.m.{k}.weight/.bias                   Detect head convs
+    Flax layout: l{i} modules with cv1/cv2/cv3/m{j} children; det_m{k} head.
+    BN weight/bias/running_* -> scale/bias + batch_stats mean/var; conv
+    kernels (O,I,kh,kw) -> (kh,kw,I,O). Unmatched keys are ignored
+    (strict=False spirit); returns (new variables, n_loaded) semantics via
+    attribute on the dict is avoided — raises if NOTHING matched (wrong
+    variant width is a footgun worth failing loudly on).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    loaded = 0
+
+    for key, val in state_dict.items():
+        k = key
+        if k.startswith("model.model."):
+            k = k[len("model."):]
+        if not k.startswith("model."):
+            continue
+        parts = k.split(".")
+        idx = parts[1]
+        rest = parts[2:]
+        if not idx.isdigit() or not rest:
+            continue
+        val = np.asarray(val)
+        if idx == "24":  # Detect head: m.{k}.weight/bias
+            if rest[0] == "m" and len(rest) == 3:
+                name = f"det_m{rest[1]}"
+                if rest[2] == "weight":
+                    loaded += _set(params, (name, "kernel"), _conv(val))
+                elif rest[2] == "bias":
+                    loaded += _set(params, (name, "bias"), val)
+            continue
+        # fold ".m.{j}." bottleneck lists into "m{j}" module names
+        path: list = [f"l{idx}"]
+        i = 0
+        while i < len(rest):
+            if rest[i] == "m" and i + 1 < len(rest) and rest[i + 1].isdigit():
+                path.append(f"m{rest[i + 1]}")
+                i += 2
+            else:
+                path.append(rest[i])
+                i += 1
+        leaf = path[-1]
+        mod = tuple(path[:-1])
+        if len(mod) >= 1 and mod[-1] == "conv" and leaf == "weight":
+            loaded += _set(params, mod + ("kernel",), _conv(val))
+        elif len(mod) >= 1 and mod[-1] == "bn":
+            if leaf == "weight":
+                loaded += _set(params, mod + ("scale",), val)
+            elif leaf == "bias":
+                loaded += _set(params, mod + ("bias",), val)
+            elif leaf == "running_mean":
+                loaded += _set(stats, mod + ("mean",), val)
+            elif leaf == "running_var":
+                loaded += _set(stats, mod + ("var",), val)
+
+    if loaded == 0:
+        raise ValueError(
+            "convert_yolov5: no tensor in the state_dict matched the model "
+            "(wrong variant width/depth, or not a yolov5-family checkpoint)")
+    out = dict(variables)
+    out["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+    out["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    return out
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file to numpy (no CUDA needed)."""
     import torch

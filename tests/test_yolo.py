@@ -1,0 +1,281 @@
+"""YOLOv5 detector: torch-mirror forward parity, decode/NMS oracles, and the
+serve-path detector contract.
+
+The torch mirror below is hand-built (like test_torch_convert.py's ResNet
+mirror) with ultralytics state_dict naming, so `convert_yolov5` is exercised
+against the exact key layout of a real `yolov5*.pt` checkpoint
+(ref track_yolov5.py:135 DetectMultiBackend role)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from reid_tpu.models.yolo import (YOLO_ANCHORS, YOLO_STRIDES, YOLO_VARIANTS,
+                                  YOLOv5, build_yolo, decode_yolo,
+                                  make_yolo_detector_fn, nms_fixed)
+from reid_tpu.utils.torch_convert import convert_yolov5  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# torch mirror (ultralytics module/state_dict layout)
+# ---------------------------------------------------------------------------
+
+class TConv(tnn.Module):
+    def __init__(self, c1, c2, k=1, s=1, p=None):
+        super().__init__()
+        p = k // 2 if p is None else p
+        self.conv = tnn.Conv2d(c1, c2, k, s, p, bias=False)
+        self.bn = tnn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
+        self.act = tnn.SiLU()
+
+    def forward(self, x):
+        return self.act(self.bn(self.conv(x)))
+
+
+class TBottleneck(tnn.Module):
+    def __init__(self, c1, c2, shortcut=True):
+        super().__init__()
+        self.cv1 = TConv(c1, c2, 1)
+        self.cv2 = TConv(c2, c2, 3)
+        self.add = shortcut and c1 == c2
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class TC3(tnn.Module):
+    def __init__(self, c1, c2, n=1, shortcut=True):
+        super().__init__()
+        c_ = c2 // 2
+        self.cv1 = TConv(c1, c_, 1)
+        self.cv2 = TConv(c1, c_, 1)
+        self.cv3 = TConv(2 * c_, c2, 1)
+        self.m = tnn.Sequential(
+            *[TBottleneck(c_, c_, shortcut) for _ in range(n)])
+
+    def forward(self, x):
+        return self.cv3(torch.cat((self.m(self.cv1(x)), self.cv2(x)), 1))
+
+
+class TSPPF(tnn.Module):
+    def __init__(self, c1, c2, k=5):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = TConv(c1, c_, 1)
+        self.cv2 = TConv(c_ * 4, c2, 1)
+        self.mp = tnn.MaxPool2d(k, 1, k // 2)
+
+    def forward(self, x):
+        x = self.cv1(x)
+        y1 = self.mp(x)
+        y2 = self.mp(y1)
+        return self.cv2(torch.cat((x, y1, y2, self.mp(y2)), 1))
+
+
+class TDetect(tnn.Module):
+    def __init__(self, nc, chs):
+        super().__init__()
+        no = 5 + nc
+        self.m = tnn.ModuleList([tnn.Conv2d(c, 3 * no, 1) for c in chs])
+
+
+class TorchYOLOv5(tnn.Module):
+    """Mirror with `model.{i}` indices matching the family yaml."""
+
+    def __init__(self, variant="yolov5p", nc=1):
+        super().__init__()
+        gd, gw = YOLO_VARIANTS[variant]
+        c = lambda ch: max(int(round(ch * gw / 8)) * 8, 8)
+        d = lambda n: max(round(n * gd), 1)
+        up = tnn.Upsample(scale_factor=2, mode="nearest")
+        ident = tnn.Identity()  # placeholder for Upsample/Concat indices
+        self.model = tnn.ModuleList([
+            TConv(3, c(64), 6, 2, 2),          # 0
+            TConv(c(64), c(128), 3, 2),        # 1
+            TC3(c(128), c(128), d(3)),         # 2
+            TConv(c(128), c(256), 3, 2),       # 3
+            TC3(c(256), c(256), d(6)),         # 4
+            TConv(c(256), c(512), 3, 2),       # 5
+            TC3(c(512), c(512), d(9)),         # 6
+            TConv(c(512), c(1024), 3, 2),      # 7
+            TC3(c(1024), c(1024), d(3)),       # 8
+            TSPPF(c(1024), c(1024)),           # 9
+            TConv(c(1024), c(512), 1, 1),      # 10
+            up,                                 # 11
+            ident,                              # 12 concat
+            TC3(c(1024), c(512), d(3), False),  # 13
+            TConv(c(512), c(256), 1, 1),        # 14
+            up,                                 # 15
+            ident,                              # 16 concat
+            TC3(c(512), c(256), d(3), False),   # 17
+            TConv(c(256), c(256), 3, 2),        # 18
+            ident,                              # 19 concat
+            TC3(c(512), c(512), d(3), False),   # 20
+            TConv(c(512), c(512), 3, 2),        # 21
+            ident,                              # 22 concat
+            TC3(c(1024), c(1024), d(3), False), # 23
+            TDetect(nc, (c(256), c(512), c(1024))),  # 24
+        ])
+
+    def forward(self, x):
+        m = self.model
+        x = m[2](m[1](m[0](x)))
+        p3 = m[4](m[3](x))
+        p4 = m[6](m[5](p3))
+        x = m[9](m[8](m[7](p4)))
+        t10 = m[10](x)
+        x = m[13](torch.cat((m[11](t10), p4), 1))
+        t14 = m[14](x)
+        o3 = m[17](torch.cat((m[15](t14), p3), 1))
+        o4 = m[20](torch.cat((m[18](o3), t14), 1))
+        o5 = m[23](torch.cat((m[21](o4), t10), 1))
+        return [m[24].m[i](o) for i, o in enumerate((o3, o4, o5))]
+
+
+def _randomize_torch(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        for mod in model.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.copy_(
+                    torch.randn(mod.running_mean.shape, generator=g) * 0.1)
+                mod.running_var.copy_(
+                    torch.rand(mod.running_var.shape, generator=g) * 0.5
+                    + 0.75)
+
+
+def test_yolov5_forward_parity_with_torch_mirror():
+    tm = TorchYOLOv5("yolov5p", nc=1).eval()
+    _randomize_torch(tm)
+
+    fm = build_yolo("yolov5p", num_classes=1)
+    variables = jax.jit(lambda k, x: fm.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    sd = {"model." + k: v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+    variables = convert_yolov5(sd, variables)
+
+    x = np.random.default_rng(1).normal(size=(2, 128, 128, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    f_out = jax.jit(lambda v, xx: fm.apply(v, xx, train=False))(
+        variables, jnp.asarray(x))
+    assert len(f_out) == 3
+    for t, f in zip(t_out, f_out):
+        tn = np.transpose(t.numpy(), (0, 2, 3, 1))
+        fn = np.asarray(f)
+        assert tn.shape == fn.shape
+        assert np.max(np.abs(tn - fn)) < 1e-3, np.max(np.abs(tn - fn))
+
+
+def test_convert_yolov5_rejects_mismatched_checkpoint():
+    fm = build_yolo("yolov5p", num_classes=1)
+    variables = jax.jit(lambda k, x: fm.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    with pytest.raises(ValueError, match="no tensor"):
+        convert_yolov5({"model.0.conv.weight": np.zeros((99, 3, 6, 6))},
+                       variables)
+
+
+# ---------------------------------------------------------------------------
+# decode + NMS oracles
+# ---------------------------------------------------------------------------
+
+def test_decode_yolo_grid_alignment():
+    """A single hot cell must decode to the family's sigmoid grid algebra
+    (numpy oracle): xy=(2s-0.5+g)*stride, wh=(2s)^2*anchor."""
+    h = w = 8
+    preds = [np.full((1, h // (s // 8), w // (s // 8), 3 * 6), -20.0,
+                     np.float32) for s in YOLO_STRIDES]
+    # level 0 (stride 8), cell (y=2, x=5), anchor 1: raw logits
+    raw = np.array([0.3, -0.2, 0.5, 0.1, 4.0, 4.0], np.float32)
+    lvl = preds[0].reshape(1, h, w, 3, 6)
+    lvl[0, 2, 5, 1] = raw
+    preds[0] = lvl.reshape(1, h, w, 18)
+
+    xywh, score, cls = decode_yolo([jnp.asarray(p) for p in preds],
+                                   num_classes=1, max_candidates=4)
+    sig = 1.0 / (1.0 + np.exp(-raw))
+    exp_x = (2 * sig[0] - 0.5 + 5) * 8
+    exp_y = (2 * sig[1] - 0.5 + 2) * 8
+    exp_w = (2 * sig[2]) ** 2 * YOLO_ANCHORS[0][1][0]
+    exp_h = (2 * sig[3]) ** 2 * YOLO_ANCHORS[0][1][1]
+    exp_score = sig[4] * sig[5]
+    got = np.asarray(xywh)[0, 0]
+    np.testing.assert_allclose(got, [exp_x, exp_y, exp_w, exp_h], rtol=1e-5)
+    np.testing.assert_allclose(float(score[0, 0]), exp_score, rtol=1e-5)
+    assert float(score[0, 1]) < 1e-6  # everything else is cold
+
+
+def _nms_oracle(xywh, scores, cls, iou_thres, conf_thres):
+    """Greedy NMS, plain numpy."""
+    tl = xywh[:, :2] - xywh[:, 2:] / 2
+    br = xywh[:, :2] + xywh[:, 2:] / 2
+    keep = []
+    alive = scores > conf_thres
+    order = np.argsort(-scores)
+    for i in order:
+        if not alive[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or not alive[j] or cls[j] != cls[i]:
+                continue
+            itl = np.maximum(tl[i], tl[j])
+            ibr = np.minimum(br[i], br[j])
+            iwh = np.maximum(ibr - itl, 0)
+            inter = iwh[0] * iwh[1]
+            a = np.prod(br[i] - tl[i]) + np.prod(br[j] - tl[j]) - inter
+            if scores[j] < scores[i] and inter / max(a, 1e-9) > iou_thres:
+                alive[j] = False
+    return sorted(keep)
+
+
+def test_nms_fixed_matches_greedy_oracle():
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = 40
+        xy = rng.uniform(0, 100, (n, 2))
+        wh = rng.uniform(5, 30, (n, 2))
+        xywh = np.concatenate([xy, wh], 1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        cls = rng.integers(0, 2, n).astype(np.float32)
+        order = np.argsort(-scores)  # nms_fixed expects descending
+        xywh_s, scores_s, cls_s = xywh[order], scores[order], cls[order]
+
+        tlwh, conf, valid = nms_fixed(jnp.asarray(xywh_s),
+                                      jnp.asarray(scores_s),
+                                      jnp.asarray(cls_s),
+                                      iou_thres=0.45, conf_thres=0.3,
+                                      max_dets=n)
+        kept_scores = sorted(np.asarray(conf)[np.asarray(valid)].tolist())
+        oracle_idx = _nms_oracle(xywh_s, scores_s, cls_s, 0.45, 0.3)
+        oracle_scores = sorted(scores_s[oracle_idx].tolist())
+        np.testing.assert_allclose(kept_scores, oracle_scores, rtol=1e-6)
+
+
+def test_yolo_detector_fn_contract():
+    """Serve contract: uint8 frame in -> (tlwh, conf, valid) in frame
+    pixels with static max_dets capacity, letterbox undone."""
+    fm = build_yolo("yolov5p", num_classes=1)
+    variables = jax.jit(lambda k, x: fm.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 160, 3)))
+    detect = make_yolo_detector_fn(fm, variables, det_hw=(96, 160),
+                                   max_dets=16, conf_thres=0.0)
+    frame = np.random.default_rng(0).integers(
+        0, 255, (48, 120, 3), np.uint8)
+    tlwh, conf, valid = detect(frame)
+    assert tlwh.shape == (16, 4) and conf.shape == (16,)
+    assert valid.dtype == np.bool_
+    # conf_thres=0 with random weights: some survivors, sorted descending
+    assert valid.any()
+    cv = conf[valid]
+    assert np.all(np.diff(cv) <= 1e-6)
