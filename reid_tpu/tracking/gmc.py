@@ -69,3 +69,35 @@ def estimate_affine(prev: np.ndarray, curr: np.ndarray,
     out[0, 2] = -dx * downscale
     out[1, 2] = -dy * downscale
     return out
+
+
+def chunk_affines_translation(prev_last, frames, downscale: int = 2):
+    """Device-side batched GMC for a whole chunk: translation-only phase
+    correlation between consecutive frames, all T pairs in ONE batched FFT.
+
+    prev_last (H, W, 3): the frame preceding the chunk (pass frames[0] to
+    make the first affine identity); frames (T, H, W, 3). Returns (T, 2, 3)
+    affines mapping frame t-1 coords -> frame t coords, the same semantics
+    as `estimate_affine`'s NumPy fallback — but computed on the TPU inside
+    the chunked program, so the throughput path gets camera-motion
+    compensation at zero host cost (ref track_yolov5.py:229-231 runs GMC
+    per frame on the host CPU).
+    """
+    import jax.numpy as jnp
+
+    seq = jnp.concatenate([prev_last[None], frames]).astype(jnp.float32)
+    g = seq.mean(axis=-1)[:, ::downscale, ::downscale]
+    g = g - g.mean(axis=(-2, -1), keepdims=True)
+    f = jnp.fft.rfft2(g)
+    cross = f[:-1] * jnp.conj(f[1:])
+    corr = jnp.fft.irfft2(cross / jnp.maximum(jnp.abs(cross), 1e-9),
+                          s=g.shape[-2:])
+    t, h, w = corr.shape
+    idx = jnp.argmax(corr.reshape(t, -1), axis=-1)
+    dy = idx // w
+    dx = idx % w
+    dy = jnp.where(dy > h // 2, dy - h, dy).astype(jnp.float32)
+    dx = jnp.where(dx > w // 2, dx - w, dx).astype(jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (t, 2, 2))
+    trans = jnp.stack([-dx * downscale, -dy * downscale], axis=-1)
+    return jnp.concatenate([eye, trans[..., None]], axis=-1)

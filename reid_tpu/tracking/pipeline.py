@@ -86,7 +86,8 @@ def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
 
 
 def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
-                         chunk: int = 16, crop_budget: Optional[int] = None):
+                         chunk: int = 16, crop_budget: Optional[int] = None,
+                         use_gmc: Optional[bool] = None):
     """One jit program tracking a CHUNK of frames end-to-end on device.
 
     This is the throughput path (north star >=200 fps/chip): per chunk of T
@@ -106,15 +107,22 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
     """
     import functools
 
-    from .tracker import _update_impl
+    from .methods import uses_gmc
+    from .tracker import _update_impl, apply_gmc
 
+    if use_gmc is None:
+        use_gmc = uses_gmc(cfg)
     ch, cw = crop_hw
     mean = jnp.asarray((0.485, 0.456, 0.406))
     std = jnp.asarray((0.229, 0.224, 0.225))
 
     @jax.jit
-    def run_chunk(params, batch_stats, state, frames, tlwh, conf, valid):
-        # frames (T, H, W, 3) uint8; tlwh (T, D, 4); conf/valid (T, D)
+    def run_chunk(params, batch_stats, state, frames, tlwh, conf, valid,
+                  affines=None, prev_frame=None):
+        # frames (T, H, W, 3) uint8; tlwh (T, D, 4); conf/valid (T, D);
+        # affines (T, 2, 3) camera-motion warps (botsort; None = estimate
+        # on device from the frames — ref track_yolov5.py:229-231);
+        # prev_frame (H, W, 3) anchors the chunk-boundary affine.
         t, d = tlwh.shape[:2]
         imgs = frames.astype(jnp.float32) / 255.0
         crops = jax.vmap(
@@ -139,13 +147,23 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
         else:
             feats = embed_fn(params, batch_stats, crops).reshape(t, d, -1)
 
+        if use_gmc and affines is None:
+            from .gmc import chunk_affines_translation
+            anchor = frames[0] if prev_frame is None else prev_frame
+            affines = chunk_affines_translation(anchor, frames)
+        if affines is None:  # keep one scan signature
+            affines = jnp.broadcast_to(
+                jnp.eye(2, 3, dtype=jnp.float32), (t, 2, 3))
+
         def scan_step(st, frame_inputs):
-            boxes, c, f, v = frame_inputs
+            boxes, c, f, v, aff = frame_inputs
+            if use_gmc:  # trace-time branch: no cost when off
+                st = apply_gmc(st, aff)
             st, out = _update_impl(cfg, st, boxes, c, f, v)
             return st, out
 
         state, outputs = jax.lax.scan(scan_step, state,
-                                      (tlwh, conf, feats, valid))
+                                      (tlwh, conf, feats, valid, affines))
         return state, outputs
 
     return run_chunk
@@ -155,7 +173,7 @@ class TrackingPipeline:
     """Host frame loop: embed + track on device, MOT rows on host."""
 
     def __init__(self, cfg: TrackerConfig, embed_fn, params, batch_stats,
-                 feat_dim: int):
+                 feat_dim: int, gmc_mode: str = "device"):
         self.cfg = cfg
         self.tracker = Tracker(cfg, feat_dim=feat_dim)
         self.state = self.tracker.init_state()
@@ -166,9 +184,14 @@ class TrackingPipeline:
         self.results: List[dict] = []
         self.timing = {"crop_embed": 0.0, "associate": 0.0, "total": 0.0}
         self.frames = 0
-        # camera-motion compensation (botsort; ref track_yolov5.py:229-231)
+        # camera-motion compensation (botsort; ref track_yolov5.py:229-231).
+        # gmc_mode picks the CHUNKED path's estimator: "device" = batched
+        # phase-correlation inside the chunk program (zero host cost),
+        # "host" = per-frame estimate_affine (cv2 sparse-flow affine — the
+        # same estimator the per-frame step() path uses, for exact parity).
         from .methods import uses_gmc
         self._gmc = uses_gmc(cfg)
+        self.gmc_mode = gmc_mode
         self._prev_frame = None
 
     def step(self, frame_idx: int, frame: np.ndarray,
@@ -232,8 +255,23 @@ class TrackingPipeline:
             vl = jnp.asarray(padded(valid)) if pad == 0 else jnp.asarray(
                 np.concatenate([valid[s:e],
                                 np.zeros((pad,) + valid.shape[1:], bool)]))
+            kw = {}
+            if self._gmc:
+                # the frame before this chunk anchors the boundary affine
+                prev_np = frames[s - 1] if s > 0 else frames[0]
+                if self.gmc_mode == "host":
+                    from .gmc import estimate_affine
+                    affs, prev = [], prev_np
+                    for i in range(s, e):
+                        affs.append(estimate_affine(prev, frames[i]))
+                        prev = frames[i]
+                    affs.extend([np.eye(2, 3, dtype=np.float32)] * pad)
+                    kw["affines"] = jnp.asarray(np.stack(affs))
+                else:
+                    kw["prev_frame"] = jnp.asarray(prev_np)
             self.state, outs = self._chunked(
-                self.params, self.batch_stats, self.state, fr, bx, cf, vl)
+                self.params, self.batch_stats, self.state, fr, bx, cf, vl,
+                **kw)
             pending.append((s, e, outs))
             # drain the previous chunk while this one computes
             if len(pending) > 1:
