@@ -45,10 +45,13 @@ def make_optimizers(cfg: Config, steps_per_epoch: int):
     * transformer loop (train_transformer_model, ref :271-277): the
       branch is INVERTED — plain SGD(0.008, wd 1e-4) under PK sampling
       else Adam(0.01, wd 1e-4), WarmUpCosine.
+    * PLR-OSNet loop (train_plr_osnet, ref :196-201): Adam(3.5e-4) under
+      PK sampling else MADGRAD(0.01, wd 5e-4, momentum 0.9 default).
 
     Centers: SGD(0.5) with 1/lamda grad rescale (ref :310-312).
     """
     transformer = cfg.model.backbone in ("vit", "swin_v1", "swin_v2")
+    plr = cfg.model.backbone == "plr_osnet"
     if transformer:
         base_lr = 0.008 if cfg.train.num_instances > 0 else 0.01
         wd = 1e-4
@@ -59,7 +62,16 @@ def make_optimizers(cfg: Config, steps_per_epoch: int):
         cfg.train.warmup_epochs, cfg.train.hold_epochs, cfg.train.eta_min,
     )
     use_adam = (cfg.train.num_instances > 0) != transformer
-    if use_adam:
+    if plr and cfg.train.num_instances <= 0:
+        # ref image_reid_train.py:201 (madgrad L2 goes into the grad, like
+        # torch.optim.Adam's weight_decay — handled inside the transform)
+        from .optim import madgrad
+        plr_schedule = warmup_cosine_schedule(
+            0.01, cfg.train.epochs, steps_per_epoch,
+            cfg.train.warmup_epochs, cfg.train.hold_epochs,
+            cfg.train.eta_min)
+        opt = madgrad(plr_schedule, momentum=0.9, weight_decay=5e-4)
+    elif use_adam:
         # torch.optim.Adam(weight_decay=...) is L2-into-grad, NOT decoupled
         # AdamW — match the reference exactly (image_reid_train.py:53).
         opt = optax.chain(

@@ -4,9 +4,9 @@
 sequences of `seq_len` crops (ref VideoDataset :23-107: pedestrian class
 only, lamda bbox dilation, tiny-box filter, pad-with-last / random subsample
 to seq_len). The train loop (ref :110-138) uses the 3D video ResNet-50 with
-HybridLoss on 2048-d features; the optimizer is AdamW standing in for
-MADGRAD (momentum 0 in the reference makes MADGRAD ≈ dual-averaged Adam;
-schedule StepLR(300, 0.5) reproduced).
+HybridLoss on 2048-d features; the optimizer is MADGRAD(1e-4, wd 5e-4,
+momentum 0) with the StepLR(300, 0.5) schedule — the reference's exact
+recipe (ref :115-116; `train.optim.madgrad`, update-parity-tested).
 
 The reference's DDP variant (:142-189) is subsumed by the framework's mesh
 data-parallelism (reid_tpu.parallel) — no process groups needed.
@@ -160,10 +160,13 @@ def train_video(cfg: Config, dataset: VideoTrackletDataset,
     dummy = jnp.zeros((2, seq_len, dataset.height, dataset.width, 3))
     variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
         jax.random.PRNGKey(cfg.train.seed), dummy)
+    # MADGRAD(lr=1e-4, wd=5e-4, momentum=0) + StepLR(300, 0.5) — the
+    # reference's exact video optimizer (ref video_reid_train.py:115-116)
+    from .optim import madgrad
     schedule = optax.exponential_decay(1e-4, transition_steps=300,
                                        decay_rate=0.5, staircase=True)
     tx = optax.chain(optax.clip_by_global_norm(10.0),
-                     optax.adamw(schedule, weight_decay=5e-4))
+                     madgrad(schedule, momentum=0.0, weight_decay=5e-4))
     loss_state = init_hybrid_state(jax.random.PRNGKey(1), num_classes, 2048)
     step = make_video_train_step(cfg, model, tx)
 

@@ -187,3 +187,87 @@ def test_transformer_optimizer_branch():
     assert has_adam(cnn_pk)
     assert not has_adam(vit_pk)
     assert has_adam(vit_no)
+
+
+def test_madgrad_matches_pytorch_oracle():
+    """Update-parity of train.optim.madgrad vs a NumPy transliteration of
+    facebookresearch/madgrad's torch step (the reference's optimizer,
+    ref image_reid_train.py:201, video_reid_train.py:115)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from reid_tpu.train.optim import madgrad
+
+    rng = np.random.default_rng(0)
+    p0 = {"w": rng.normal(size=(4, 3)).astype(np.float32),
+          "b": rng.normal(size=(3,)).astype(np.float32)}
+    grads_seq = [
+        {"w": rng.normal(size=(4, 3)).astype(np.float32),
+         "b": rng.normal(size=(3,)).astype(np.float32)}
+        for _ in range(15)
+    ]
+
+    def oracle(momentum, wd, lr_fn, eps=1e-6):
+        """Torch madgrad step: lamb=lr*sqrt(k+1); s+=lamb*g; v+=lamb*g^2;
+        z=x0-s/(v^(1/3)+eps); x=(1-ck)x+ck*z."""
+        ck = 1.0 - momentum
+        x = {k: v.copy() for k, v in p0.items()}
+        x0 = {k: v.copy() for k, v in p0.items()}
+        s = {k: np.zeros_like(v) for k, v in p0.items()}
+        v = {k: np.zeros_like(vv) for k, vv in p0.items()}
+        for k_step, g in enumerate(grads_seq):
+            lamb = lr_fn(k_step) * np.sqrt(k_step + 1)
+            for key in x:
+                gg = g[key] + wd * x[key]
+                s[key] = s[key] + lamb * gg
+                v[key] = v[key] + lamb * gg * gg
+                z = x0[key] - s[key] / (np.cbrt(v[key]) + eps)
+                x[key] = (1 - ck) * x[key] + ck * z
+        return x
+
+    for momentum, wd, lr in [(0.9, 0.0, 0.01), (0.0, 5e-4, 1e-2),
+                             (0.9, 5e-4, 0.05)]:
+        tx = madgrad(lr, momentum=momentum, weight_decay=wd)
+        params = {k: jnp.asarray(v) for k, v in p0.items()}
+        st = tx.init(params)
+        for g in grads_seq:
+            upd, st = tx.update({k: jnp.asarray(v) for k, v in g.items()},
+                                st, params)
+            import optax
+            params = optax.apply_updates(params, upd)
+        exp = oracle(momentum, wd, lambda _: lr)
+        for key in exp:
+            np.testing.assert_allclose(np.asarray(params[key]), exp[key],
+                                       rtol=2e-5, atol=2e-6)
+
+    # schedule-driven lr enters through lamb_k (torch StepLR semantics)
+    import optax
+    sched = optax.exponential_decay(0.05, transition_steps=5,
+                                    decay_rate=0.5, staircase=True)
+    tx = madgrad(sched, momentum=0.9)
+    params = {k: jnp.asarray(v) for k, v in p0.items()}
+    st = tx.init(params)
+    for g in grads_seq:
+        upd, st = tx.update({k: jnp.asarray(v) for k, v in g.items()},
+                            st, params)
+        params = optax.apply_updates(params, upd)
+    exp = oracle(0.9, 0.0, lambda k: 0.05 * 0.5 ** (k // 5))
+    for key in exp:
+        np.testing.assert_allclose(np.asarray(params[key]), exp[key],
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_make_optimizers_plr_madgrad_branch():
+    """PLR-OSNet without PK sampling trains with MADGRAD
+    (ref image_reid_train.py:201)."""
+    from reid_tpu.config import Config, ModelConfig, TrainConfig
+    from reid_tpu.train.state import make_optimizers
+    import jax.numpy as jnp
+
+    cfg = Config(model=ModelConfig(backbone="plr_osnet"),
+                 train=TrainConfig(num_instances=0))
+    tx, _ = make_optimizers(cfg, 10)
+    params = {"w": jnp.zeros((3, 3))}
+    state = tx.init(params)
+    assert "Madgrad" in str(state)
+    updates, _ = tx.update({"w": jnp.ones((3, 3))}, state, params)
+    assert jnp.all(jnp.isfinite(updates["w"]))
