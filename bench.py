@@ -108,6 +108,150 @@ def bench_tracking(model, variables, chunk=64, max_dets=32):
     return chunk / best
 
 
+def bench_tracking_detector_in_loop(model, variables, chunk=64,
+                                    max_dets=32, det_hw=(288, 512)):
+    """Detector-IN-LOOP tracking fps: CenterNetLite forward + decode + crop
+    + embed + associate, ONE fused chunk program (the reference's full
+    per-frame loop, ref track_yolov5.py:189-253, minus host video decode)."""
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.models.detector import CenterNetLite, decode_detections
+    from reid_tpu.tracking.pipeline import make_chunked_tracker
+    from reid_tpu.tracking.tracker import init_tracker_state
+
+    cfg = TrackerConfig(max_tracks=64, max_dets=max_dets, n_init=2,
+                        crop_hw=(256, 128), min_confidence=0.05)
+
+    def embed_fn(params, batch_stats, crops):
+        feat, logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops.astype(jnp.bfloat16), train=False)
+        f = jnp.concatenate([feat.astype(jnp.float32),
+                             logits.astype(jnp.float32)], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    det_model = CenterNetLite(base=32, dtype=jnp.bfloat16)
+    dh, dw = det_hw
+    dvars = jax.jit(lambda k, x: det_model.init(k, x, train=True))(
+        jax.random.PRNGKey(1), jnp.zeros((1, dh, dw, 3)))
+    run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
+                                     crop_budget=chunk * 16)
+
+    @jax.jit
+    def full(params, batch_stats, dp, dbs, state, frames):
+        x = jax.image.resize(frames.astype(jnp.float32) / 255.0,
+                             (frames.shape[0], dh, dw, 3), "bilinear")
+        out = det_model.apply({"params": dp, "batch_stats": dbs}, x,
+                              train=False)
+        tlwh, scores = decode_detections(out, max_dets=max_dets)
+        sx, sy = frames.shape[2] / dw, frames.shape[1] / dh
+        tlwh = tlwh * jnp.asarray([sx, sy, sx, sy])
+        valid = scores > cfg.min_confidence
+        return run_chunk(params, batch_stats, state, frames, tlwh,
+                         jnp.maximum(scores, 0.0), valid)
+
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        rng.integers(0, 255, (chunk, 480, 640, 3)).astype(np.uint8))
+    state = init_tracker_state(64, 512 + 751)
+    state, outs = full(variables["params"], variables["batch_stats"],
+                       dvars["params"], dvars.get("batch_stats", {}),
+                       state, frames)
+    _sync(outs["tlwh"])  # compile
+    reps = 5
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, outs = full(variables["params"], variables["batch_stats"],
+                               dvars["params"], dvars.get("batch_stats", {}),
+                               state, frames)
+        _sync(outs["tlwh"])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return chunk / best
+
+
+def bench_tracking_botsort_gmc(model, variables, chunk=64, max_dets=32):
+    """botsort with device-side GMC (batched phase correlation) in the
+    chunk program — the camera-compensated throughput number."""
+    from reid_tpu.tracking.methods import method_config
+    from reid_tpu.tracking.pipeline import make_chunked_tracker
+    from reid_tpu.tracking.tracker import init_tracker_state
+
+    cfg = method_config("botsort", max_tracks=64, max_dets=max_dets,
+                        n_init=2, crop_hw=(256, 128))
+
+    def embed_fn(params, batch_stats, crops):
+        feat, logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops.astype(jnp.bfloat16), train=False)
+        f = jnp.concatenate([feat.astype(jnp.float32),
+                             logits.astype(jnp.float32)], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
+                                     crop_budget=chunk * 16)
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        rng.integers(0, 255, (chunk, 480, 640, 3)).astype(np.uint8))
+    tlwh = np.zeros((chunk, max_dets, 4), np.float32)
+    for t in range(chunk):
+        for j in range(16):
+            tlwh[t, j] = (20 + 6 * j + t, 50 + 10 * (j % 4), 40, 90)
+    tlwh = jax.device_put(tlwh)
+    conf = jax.device_put(np.full((chunk, max_dets), 0.9, np.float32))
+    valid = jax.device_put(np.concatenate(
+        [np.ones((chunk, 16), bool), np.zeros((chunk, 16), bool)], 1))
+    state = init_tracker_state(64, 512 + 751)
+    state, outs = run_chunk(variables["params"], variables["batch_stats"],
+                            state, frames, tlwh, conf, valid)
+    _sync(outs["tlwh"])  # compile
+    reps = 5
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, outs = run_chunk(variables["params"],
+                                    variables["batch_stats"], state,
+                                    frames, tlwh, conf, valid)
+        _sync(outs["tlwh"])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return chunk / best
+
+
+def bench_yolo_forward(batch=8, hw=(384, 640)):
+    """YOLOv5s forward+decode+NMS fps (bf16, batched frames in HBM)."""
+    from reid_tpu.models.yolo import build_yolo, decode_yolo, nms_fixed
+
+    model = build_yolo("yolov5s", num_classes=1, dtype=jnp.bfloat16)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3), jnp.bfloat16))
+
+    @jax.jit
+    def detect(v, x):
+        preds = model.apply(v, x, train=False)
+        xywh, scores, cls = decode_yolo(preds, num_classes=1)
+        out = jax.vmap(lambda b, s, c: nms_fixed(
+            b, s, c, conf_thres=0.1, max_dets=64))(xywh, scores, cls)
+        return out[0]
+
+    x = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, *hw, 3)), jnp.bfloat16))
+    _sync(detect(variables, x))  # compile
+    reps = 10
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(reps):
+            o = detect(variables, x)
+            acc = o if acc is None else acc + o
+        _sync(acc)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return batch / best
+
+
 def main():
     from reid_tpu.models import build_model
 
@@ -118,17 +262,30 @@ def main():
 
     crops_per_sec = bench_embed(model, variables)
     fps = bench_tracking(model, variables)
+    extra = {
+        "reid_embed_crops_per_sec_per_chip": round(crops_per_sec, 1),
+        "embed_vs_baseline": round(crops_per_sec / BASELINE_FPS, 2),
+        "north_star_fps": 200.0,
+    }
+    for key, fn in (
+        ("mot_tracking_fps_detector_in_loop",
+         lambda: bench_tracking_detector_in_loop(model, variables)),
+        ("mot_tracking_fps_botsort_gmc",
+         lambda: bench_tracking_botsort_gmc(model, variables)),
+        ("yolov5s_detect_fps_384x640",
+         bench_yolo_forward),
+    ):
+        try:
+            extra[key] = round(fn(), 1)
+        except Exception as e:  # never lose the headline to an extra
+            extra[key] = f"error: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "mot_tracking_fps_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
-        "extra": {
-            "reid_embed_crops_per_sec_per_chip": round(crops_per_sec, 1),
-            "embed_vs_baseline": round(crops_per_sec / BASELINE_FPS, 2),
-            "north_star_fps": 200.0,
-        },
+        "extra": extra,
     }))
 
 
