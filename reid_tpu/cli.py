@@ -376,6 +376,11 @@ def track_main(argv=None):
                         "(ref --save-vid, track_yolov5.py:286-333)")
     p.add_argument("--conf_thres", type=float, default=0.5)
     p.add_argument("--max_dets", type=int, default=64)
+    p.add_argument("--crop_hw", type=int, nargs=2, default=(256, 128),
+                   metavar=("H", "W"),
+                   help="ReID crop size (ref TRACKING_EVAL.md:5; "
+                        "transformer backbones need their grid multiples, "
+                        "e.g. swin 224 112)")
     p.add_argument("--max_frames", type=int, default=0,
                    help="stop after N frames (0 = all)")
     p.add_argument("--gt", default="",
@@ -399,7 +404,8 @@ def track_main(argv=None):
 
     cfg = method_config(args.tracking_method,
                         min_confidence=args.conf_thres,
-                        max_dets=args.max_dets)
+                        max_dets=args.max_dets,
+                        crop_hw=tuple(args.crop_hw))
     model = build_model(args.backbone, num_classes=args.num_classes,
                         dtype=jnp.bfloat16)
     dummy = jnp.zeros((2, *cfg.crop_hw, 3), jnp.bfloat16)
@@ -413,8 +419,13 @@ def track_main(argv=None):
         feat, logits = model.apply(
             {"params": params, "batch_stats": batch_stats},
             crops.astype(jnp.bfloat16), train=False)
-        f = jnp.concatenate([feat.astype(jnp.float32),
-                             logits.astype(jnp.float32)], axis=1)
+        if isinstance(logits, tuple):
+            # dual-head models (plr_osnet): reference eval emits the part
+            # feature only (ref plr_osnet.py:107-110)
+            f = feat.astype(jnp.float32)
+        else:
+            f = jnp.concatenate([feat.astype(jnp.float32),
+                                 logits.astype(jnp.float32)], axis=1)
         return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
                                1e-12)
 

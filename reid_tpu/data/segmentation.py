@@ -5,7 +5,12 @@ FG/BG extraction with optional Gaussian-blurred background, plus
 `ExtractedDataset`). The reference pulls pretrained weights from torch.hub;
 in this zero-egress TPU build the segmenter is a compact trainable U-Net
 (`SegUNet`) with the same interface — load weights via
-`reid_tpu.utils.restore_checkpoint` or train on person-mask data.
+`reid_tpu.utils.restore_checkpoint` or train on person-mask data. For the
+reference-exact model, `models.deeplab.DeepLabV3` implements the
+torchvision architecture with a weight converter
+(`utils.torch_convert.convert_deeplabv3`); its `extract_foreground` person
+mask plugs into `extract_foreground_background` here when a local
+deeplabv3_resnet50 checkpoint is supplied.
 
 `extract_foreground_background` mirrors ref :35-49: per-pixel person mask ->
 foreground kept, background either zeroed or Gaussian-blurred.

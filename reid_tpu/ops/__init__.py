@@ -7,6 +7,8 @@ native dependencies (faiss C++/CUDA kNN, cuML DBSCAN, numpy re-ranking).
 - camera:    per-camera de-bias whitening (ref reid/inference_utils.py:5-15)
 - dbscan:    DBSCAN over precomputed distances (replaces sklearn/cuML)
 - kmeans:    jit k-means (replaces faiss KMeans, ref gan/kmeans_.py)
+- ivf:       IVF approximate top-k for 100k+ galleries (replaces faiss
+             GpuIndexIVFFlat, ref faiss_utils.py:158-181 search options)
 """
 
 from .distance import (
@@ -23,3 +25,4 @@ from .rerank import (
 )
 from .dbscan import dbscan_precomputed
 from .kmeans import kmeans
+from .ivf import IVFIndex, build_ivf, ivf_topk

@@ -1,6 +1,7 @@
 from .mesh import (
     default_mesh,
     fit_mesh,
+    init_multihost,
     make_mesh,
     make_mesh_2d,
     place_batch,

@@ -29,6 +29,32 @@ def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> int:
+    """Multi-host bootstrap (SURVEY §7.2-8 hardening; role of the
+    reference's `ddp_trigger` NCCL/Gloo rendezvous, train_utils.py:45-77).
+
+    Call once per process BEFORE any jax computation; afterwards
+    `jax.devices()` spans the whole slice/pod and `make_mesh()` builds a
+    global mesh — every sharded path in this package (train DP, sharded
+    Jaccard/top-k, stream tracking) then scales across hosts unchanged,
+    with XLA routing collectives over ICI within a slice and DCN across
+    slices. With no arguments, JAX auto-discovers the TPU-pod topology
+    from the environment (the normal TPU-VM case). Returns the process id.
+
+    Single-host processes can skip this entirely — every mesh path in this
+    package works on local devices without it (the default in this
+    environment, which has one chip).
+    """
+    kw = {}
+    if coordinator_address is not None:
+        kw = dict(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
+    return jax.process_index()
+
+
 def default_mesh(axis: str = "data") -> Mesh:
     """Mesh over ALL local devices — the product train/eval loops' default
     (role of the reference's nn.DataParallel-wraps-everything default,

@@ -140,7 +140,13 @@ def embed_with_flip(apply_fn, params, batch_stats, images, cams=None):
     def l2n(x):
         return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
-    emb = jnp.concatenate([l2n(feats.astype(jnp.float32)),
-                           l2n(logits.astype(jnp.float32))], axis=1)
+    if isinstance(logits, tuple):
+        # dual-head models (PLR-OSNet): the reference's eval path returns
+        # the concatenated part feature ONLY (ref plr_osnet.py:107-110) —
+        # no logits concat
+        emb = l2n(feats.astype(jnp.float32))
+    else:
+        emb = jnp.concatenate([l2n(feats.astype(jnp.float32)),
+                               l2n(logits.astype(jnp.float32))], axis=1)
     merged = 0.5 * (emb[:b] + emb[b:])
     return l2n(merged)

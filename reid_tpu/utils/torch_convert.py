@@ -379,6 +379,80 @@ def convert_yolov5(state_dict: Mapping[str, Any], variables: Dict) -> Dict:
     return out
 
 
+def convert_deeplabv3(state_dict: Mapping[str, Any], variables: Dict) -> Dict:
+    """Merge a torchvision `deeplabv3_resnet50` state_dict into
+    `models.deeplab.DeepLabV3` variables (the reference's hub segmenter,
+    ref reid/segmentation.py:12-14).
+
+    torchvision layout -> flax:
+      backbone.conv1/bn1                    -> conv1/bn1
+      backbone.layerL.B.{conv,bn}{1..3},
+        .downsample.{0,1}                   -> layerL_B.{...}, down_conv/bn
+      classifier.0.convs.{0..3}.{0,1}       -> aspp.b{i}_{conv,bn}
+      classifier.0.convs.4.{1,2}            -> aspp.pool_{conv,bn}
+      classifier.0.project.{0,1}            -> aspp.project_{conv,bn}
+      classifier.{1,2,4}                    -> head_conv/head_bn/classifier
+    aux_classifier.* is ignored. Raises if nothing matched.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    loaded = 0
+
+    def bn(prefix_t, flax_path):
+        nonlocal loaded
+        if prefix_t + ".weight" not in sd:
+            return
+        loaded += _set(params, flax_path + ("scale",), sd[prefix_t + ".weight"])
+        loaded += _set(params, flax_path + ("bias",), sd[prefix_t + ".bias"])
+        loaded += _set(stats, flax_path + ("mean",),
+                       sd[prefix_t + ".running_mean"])
+        loaded += _set(stats, flax_path + ("var",),
+                       sd[prefix_t + ".running_var"])
+
+    def conv(prefix_t, flax_path):
+        nonlocal loaded
+        if prefix_t not in sd:
+            return
+        loaded += _set(params, flax_path + ("kernel",), _conv(sd[prefix_t]))
+
+    conv("backbone.conv1.weight", ("conv1",))
+    bn("backbone.bn1", ("bn1",))
+    for li, blocks in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        for bi in range(blocks):
+            t = f"backbone.layer{li}.{bi}"
+            f = f"layer{li}_{bi}"
+            for ci in (1, 2, 3):
+                conv(f"{t}.conv{ci}.weight", (f, f"conv{ci}"))
+                bn(f"{t}.bn{ci}", (f, f"bn{ci}"))
+            conv(f"{t}.downsample.0.weight", (f, "down_conv"))
+            bn(f"{t}.downsample.1", (f, "down_bn"))
+    for i in range(4):  # ASPP 1x1 + three atrous branches
+        conv(f"classifier.0.convs.{i}.0.weight", ("aspp", f"b{i}_conv"))
+        bn(f"classifier.0.convs.{i}.1", ("aspp", f"b{i}_bn"))
+    conv("classifier.0.convs.4.1.weight", ("aspp", "pool_conv"))
+    bn("classifier.0.convs.4.2", ("aspp", "pool_bn"))
+    conv("classifier.0.project.0.weight", ("aspp", "project_conv"))
+    bn("classifier.0.project.1", ("aspp", "project_bn"))
+    conv("classifier.1.weight", ("head_conv",))
+    bn("classifier.2", ("head_bn",))
+    conv("classifier.4.weight", ("classifier",))
+    if "classifier.4.bias" in sd:
+        loaded += _set(params, ("classifier", "bias"), sd["classifier.4.bias"])
+
+    if loaded == 0:
+        raise ValueError(
+            "convert_deeplabv3: no tensor matched (wrong width, or not a "
+            "torchvision deeplabv3_resnet50 checkpoint)")
+    out = dict(variables)
+    out["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+    out["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    return out
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file to numpy (no CUDA needed)."""
     import torch

@@ -196,3 +196,39 @@ def test_jaccard_sparse_overflow_falls_back_to_dense(rng):
     dense = np.asarray(compute_jaccard_distance(f, k1=20, k2=6))
     sparse = np.asarray(compute_jaccard_distance(f, k1=20, k2=6, sparse_s=8))
     assert np.max(np.abs(dense - sparse)) < 1e-6
+
+
+def test_ivf_exact_when_all_probed(rng):
+    """nprobe == nlist probes every bucket -> identical to brute force."""
+    from reid_tpu.ops import build_ivf, ivf_topk, topk_neighbors
+
+    g = jnp.asarray(rng.normal(size=(200, 16)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(33, 16)), jnp.float32)
+    idx = build_ivf(jax.random.PRNGKey(0), g, nlist=8)
+    d_ivf, i_ivf = ivf_topk(idx, q, k=5, nprobe=8, block_q=16)
+    d_bf, i_bf = topk_neighbors(q, g, k=5)
+    np.testing.assert_array_equal(np.asarray(i_ivf), np.asarray(i_bf))
+    np.testing.assert_allclose(np.asarray(d_ivf), np.asarray(d_bf),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_high_recall_on_clustered_gallery(rng):
+    """nprobe << nlist keeps recall@10 high on clustered data (the faiss
+    IVF big-gallery role, ref faiss_utils.py:158-181)."""
+    from reid_tpu.ops import build_ivf, ivf_topk, topk_neighbors
+
+    centers = rng.normal(size=(16, 24)) * 6
+    g = np.repeat(centers, 64, 0) + rng.normal(size=(1024, 24))
+    q = np.repeat(centers[:8], 4, 0) + rng.normal(size=(32, 24))
+    g = jnp.asarray(g, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    idx = build_ivf(jax.random.PRNGKey(1), g, nlist=16)
+    d_ivf, i_ivf = ivf_topk(idx, q, k=10, nprobe=4)
+    _, i_bf = topk_neighbors(q, g, k=10)
+    recall = np.mean([
+        len(set(np.asarray(i_ivf)[r]) & set(np.asarray(i_bf)[r])) / 10.0
+        for r in range(q.shape[0])])
+    assert recall > 0.9, recall
+    # distances ascending, indices valid
+    assert np.all(np.diff(np.asarray(d_ivf), axis=1) >= -1e-5)
+    assert np.asarray(i_ivf).min() >= 0
