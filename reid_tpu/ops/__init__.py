@@ -20,6 +20,7 @@ from .distance import (
 from .camera import diminish_camera_bias, smooth_tracklets
 from .rerank import (
     compute_jaccard_distance,
+    compute_jaccard_distance_ivf,
     compute_jaccard_distance_sharded,
     jaccard_distance,
 )

@@ -73,15 +73,54 @@ def compute_jaccard_distance(
     O(N^3) HBM traffic, numerically exact whenever each V row has <= S
     nonzeros (the k-reciprocal expansion sets are that sparse in practice;
     S=512 is a safe default for k1=20, k2=6)."""
-    n = features.shape[0]
     feats = features.astype(jnp.float32)
     feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
 
-    k_half = int(round(k1 / 2))
     # faiss search(x, k1) returns k1 columns with self first; the reference's
     # k_reciprocal_neigh slices [:k1+1] of those k1 columns (a no-op clamp),
     # so the forward set is self + (k1-1) neighbors — NOT k1+1 columns.
     _, initial_rank = topk_neighbors(feats, feats, k=k1)
+    return _jaccard_from_rank(feats, initial_rank, k1=k1, k2=k2,
+                              sparse_s=sparse_s)
+
+
+def compute_jaccard_distance_ivf(
+    features: jnp.ndarray, k1: int = 20, k2: int = 6,
+    sparse_s: Optional[int] = None, nlist: int = 256, nprobe: int = 32,
+    key=None,
+) -> jnp.ndarray:
+    """Jaccard with an IVF approximate initial ranking — the reference's
+    big-gallery `search_option` IVF index paths (ref faiss_utils.py:158-181
+    GpuIndexIVFFlat): the O(N^2 D) self-kNN becomes O(N * nprobe/nlist * N D)
+    through `ops.ivf`. The re-ranking math downstream is unchanged; ranking
+    recall follows the IVF recall (exact when nprobe == nlist)."""
+    from .ivf import build_ivf, ivf_topk
+
+    feats = features.astype(jnp.float32)
+    feats = feats / jnp.maximum(
+        jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    index = build_ivf(key, feats, nlist=min(nlist, feats.shape[0]))
+    _, initial_rank = ivf_topk(index, feats, k=k1,
+                               nprobe=min(nprobe, nlist))
+    # IVF can return -1 pads if a probed bucket set is smaller than k1;
+    # clamp to self so downstream masks stay valid
+    initial_rank = jnp.where(
+        initial_rank >= 0, initial_rank,
+        jnp.arange(feats.shape[0])[:, None])
+    return _jaccard_from_rank(feats, initial_rank, k1=k1, k2=k2,
+                              sparse_s=sparse_s)
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "k2", "sparse_s"))
+def _jaccard_from_rank(
+    feats: jnp.ndarray, initial_rank: jnp.ndarray, k1: int, k2: int,
+    sparse_s: Optional[int] = None,
+) -> jnp.ndarray:
+    """Shared Jaccard body given unit-norm features + top-k1 ranking."""
+    n = feats.shape[0]
+    k_half = int(round(k1 / 2))
 
     # k-reciprocal masks: R[i,j] = j in top(i) and i in top(j)  (ref :142-146)
     f_full = _topk_mask(initial_rank, n)

@@ -232,3 +232,27 @@ def test_ivf_high_recall_on_clustered_gallery(rng):
     # distances ascending, indices valid
     assert np.all(np.diff(np.asarray(d_ivf), axis=1) >= -1e-5)
     assert np.asarray(i_ivf).min() >= 0
+
+
+def test_jaccard_ivf_close_to_exact(rng):
+    """IVF-ranked Jaccard (ref faiss_utils.py:158-181 search options) tracks
+    the exact ranking closely on clustered galleries, and is IDENTICAL when
+    every bucket is probed."""
+    from reid_tpu.ops import (compute_jaccard_distance,
+                              compute_jaccard_distance_ivf)
+
+    centers = rng.normal(size=(8, 16)) * 5
+    feats = np.repeat(centers, 16, 0) + 0.3 * rng.normal(size=(128, 16))
+    f = jnp.asarray(feats, jnp.float32)
+    exact = np.asarray(compute_jaccard_distance(f, k1=10, k2=3))
+    # all buckets probed -> identical ranking -> identical Jaccard
+    full = np.asarray(compute_jaccard_distance_ivf(f, k1=10, k2=3,
+                                                   nlist=8, nprobe=8))
+    np.testing.assert_allclose(full, exact, atol=1e-5)
+    # partial probing: retrieval ORDER preserved for most pairs
+    approx = np.asarray(compute_jaccard_distance_ivf(f, k1=10, k2=3,
+                                                     nlist=8, nprobe=4))
+    # same-cluster pairs must stay much closer than cross-cluster pairs
+    lab = np.repeat(np.arange(8), 16)
+    same = lab[:, None] == lab[None, :]
+    assert approx[same].mean() < 0.5 * approx[~same].mean()
