@@ -68,14 +68,27 @@ def main():
     cfg = TrackerConfig(max_tracks=32, max_dets=16, n_init=2,
                         crop_hw=(64, 32), min_confidence=0.25)
 
+    # real SERes18 appearance embeddings (same extractor family the serve
+    # path uses), not a toy color statistic
+    import jax
+
+    from reid_tpu.models import build_model
+
+    emb_model = build_model("seres18", num_classes=32, dtype=jnp.bfloat16)
+    ev = jax.jit(lambda k, x: emb_model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), jnp.zeros((4, 64, 32, 3), jnp.bfloat16))
+
     def embed_fn(params, batch_stats, crops):
-        m = jnp.mean(crops, axis=(1, 2))
-        s = jnp.std(crops, axis=(1, 2))
-        f = jnp.concatenate([m, s], axis=1)
+        f, l = emb_model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops.astype(jnp.bfloat16), train=False)
+        f = jnp.concatenate([f.astype(jnp.float32),
+                             l.astype(jnp.float32)], axis=1)
         return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
                                1e-12)
 
-    pipe = TrackingPipeline(cfg, embed_fn, {}, {}, feat_dim=6)
+    pipe = TrackingPipeline(cfg, embed_fn, ev["params"],
+                            ev.get("batch_stats", {}), feat_dim=512 + 32)
     eval_gt = {}
     for i, t in enumerate(range(n_train, frames.shape[0])):
         tlwh, conf, vmask = detect(frames[t])

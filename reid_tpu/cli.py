@@ -111,7 +111,8 @@ def train_main(argv=None):
         **{**cfg.model.__dict__, "num_classes": raw.num_train_pids}))
     dataset = ReIDDataset(raw.train, raw.num_train_pids,
                           cfg.data.height, cfg.data.width)
-    state, losses = train_cnn(cfg, dataset, use_xbm=args.xbm)
+    state, losses = train_cnn(cfg, dataset, use_xbm=args.xbm,
+                              ckpt=args.ckpt)
 
     if args.continual:
         t_raw = build_dataset(args.target_dataset, args.target_root)

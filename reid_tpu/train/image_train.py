@@ -64,6 +64,7 @@ def train_cnn(
     log_every: int = 50,
     ckpt_dir: str = "checkpoint",
     mesh=None,
+    ckpt: str = "",
 ) -> Tuple[ReIDTrainState, list]:
     """Main train loop (ref train_cnn :39-112 / train_cnn XBM variant).
 
@@ -88,6 +89,16 @@ def train_cnn(
             jax.random.PRNGKey(cfg.train.seed), model, cfg, steps_per_epoch,
             input_shape=(2, cfg.data.height, cfg.data.width, 3),
         )
+        if ckpt:
+            # warm-start from a params/batch_stats checkpoint (e.g. a
+            # converted pretrained trunk) — ref --ckpt strict=False load
+            # before training, image_reid_train.py:42-45
+            from ..utils import restore_checkpoint
+            tpl = restore_checkpoint(
+                ckpt, {"params": state.params,
+                       "batch_stats": state.batch_stats})
+            state = state.replace(params=tpl["params"],
+                                  batch_stats=tpl["batch_stats"])
     state = replicate(mesh, state)
     train_step = make_train_step(cfg, use_xbm_gate=use_xbm)
     aug_key = jax.random.PRNGKey(cfg.train.seed + 1)

@@ -147,6 +147,7 @@ def main():
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--skip_synth", action="store_true")
     p.add_argument("--skip_pretrained", action="store_true")
+    p.add_argument("--skip_scratch", action="store_true")
     p.add_argument("--eval_md", default="EVAL.md")
     args = p.parse_args()
 
@@ -168,29 +169,31 @@ def main():
     artifact = os.path.join(ckpt_dir, "serving_artifact")
 
     # ---- (a) scratch chain through the real CLI
-    t0 = time.time()
-    state = train_main([
-        "--root", args.root, "--dataset", "market1501",
-        "--bs", str(args.bs), "--epochs", str(args.epochs),
-        "--height", str(args.height), "--width", str(args.width),
-        "--export", artifact,
-    ])
-    results["t_train_s"] = round(time.time() - t0, 1)
-    results["t_per_epoch_s"] = round(results["t_train_s"] / args.epochs, 1)
     from reid_tpu.utils import save_checkpoint
-    scratch_ckpt = os.path.join(ckpt_dir, "scratch")
-    save_checkpoint(scratch_ckpt, {"params": state.params,
-                                   "batch_stats": state.batch_stats})
-    t0 = time.time()
-    cmc, mAP = inference_main([
-        "--root", args.root, "--dataset", "market1501",
-        "--ckpt", scratch_ckpt, "--bs", str(args.bs),
-        "--height", str(args.height), "--width", str(args.width),
-    ])
-    results["t_eval_s"] = round(time.time() - t0, 1)
-    results["scratch_rank1"] = round(float(cmc[0]), 4)
-    results["scratch_mAP"] = round(float(mAP), 4)
-    print(f"scratch chain: rank1={cmc[0]:.4f} mAP={mAP:.4f}")
+    if not args.skip_scratch:
+        t0 = time.time()
+        state = train_main([
+            "--root", args.root, "--dataset", "market1501",
+            "--bs", str(args.bs), "--epochs", str(args.epochs),
+            "--height", str(args.height), "--width", str(args.width),
+            "--export", artifact,
+        ])
+        results["t_train_s"] = round(time.time() - t0, 1)
+        results["t_per_epoch_s"] = round(results["t_train_s"] / args.epochs,
+                                         1)
+        scratch_ckpt = os.path.join(ckpt_dir, "scratch")
+        save_checkpoint(scratch_ckpt, {"params": state.params,
+                                       "batch_stats": state.batch_stats})
+        t0 = time.time()
+        cmc, mAP = inference_main([
+            "--root", args.root, "--dataset", "market1501",
+            "--ckpt", scratch_ckpt, "--bs", str(args.bs),
+            "--height", str(args.height), "--width", str(args.width),
+        ])
+        results["t_eval_s"] = round(time.time() - t0, 1)
+        results["scratch_rank1"] = round(float(cmc[0]), 4)
+        results["scratch_mAP"] = round(float(mAP), 4)
+        print(f"scratch chain: rank1={cmc[0]:.4f} mAP={mAP:.4f}")
 
     # ---- (b) pretrained chain: torch state_dict -> convert -> fine-tune
     if not args.skip_pretrained:

@@ -271,3 +271,33 @@ def test_make_optimizers_plr_madgrad_branch():
     assert "Madgrad" in str(state)
     updates, _ = tx.update({"w": jnp.ones((3, 3))}, state, params)
     assert jnp.all(jnp.isfinite(updates["w"]))
+
+
+def test_train_cnn_ckpt_warm_start(tmp_path):
+    """--ckpt must actually warm-start training (found by the full-scale
+    dress rehearsal: the pretrained chain silently trained from scratch).
+    Ref image_reid_train.py:42-45 strict=False load before training."""
+    import jax
+    import jax.numpy as jnp
+
+    from reid_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from reid_tpu.data import synthetic_dataset
+    from reid_tpu.train.image_train import train_cnn
+    from reid_tpu.train.state import create_train_state
+    from reid_tpu.models import build_model
+    from reid_tpu.utils import save_checkpoint
+
+    cfg = Config(model=ModelConfig(num_classes=4, dtype="float32"),
+                 train=TrainConfig(batch_size=4, num_instances=2, epochs=0),
+                 data=DataConfig(height=80, width=40))
+    ds = synthetic_dataset(n=8, num_pids=4, height=80, width=40)
+    model = build_model("seres18", num_classes=4)
+    st = create_train_state(jax.random.PRNGKey(7), model, cfg, 2,
+                            input_shape=(2, 80, 40, 3))
+    marked = jax.tree_util.tree_map(lambda x: x * 0 + 0.123, st.params)
+    ck = str(tmp_path / "warm")
+    save_checkpoint(ck, {"params": marked, "batch_stats": st.batch_stats})
+
+    out, _ = train_cnn(cfg, ds, ckpt=ck)
+    leaf = jax.tree_util.tree_leaves(out.params)[0]
+    assert abs(float(jnp.ravel(leaf)[0]) - 0.123) < 1e-6
