@@ -279,3 +279,30 @@ def test_yolo_detector_fn_contract():
     assert valid.any()
     cv = conf[valid]
     assert np.all(np.diff(cv) <= 1e-6)
+
+
+def test_track_cli_yolo_detector(tmp_path):
+    """track.py --detector yolov5 drives the full serve path from the
+    built-in YOLO (random weights, conf 0 -> capacity detections) —
+    ref track_yolov5.py:135 DetectMultiBackend role."""
+    import os
+
+    from PIL import Image
+
+    from reid_tpu.cli import track_main
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "frames"
+    src.mkdir()
+    for f in range(1, 4):
+        Image.fromarray(rng.integers(0, 255, (96, 160, 3), np.uint8)).save(
+            src / f"{f:06d}.jpg")
+    out = tmp_path / "out.txt"
+    n = track_main(["--source", str(src), "--save_txt", str(out),
+                    "--detector", "yolov5", "--yolo_variant", "yolov5p",
+                    "--det_size", "96", "160", "--conf_thres", "0.0",
+                    "--num_classes", "8", "--max_dets", "4",
+                    "--crop_hw", "80", "40",
+                    "--tracking_method", "bytetrack"])
+    assert os.path.exists(out)
+    assert isinstance(n, int)
