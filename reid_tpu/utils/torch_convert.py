@@ -453,6 +453,71 @@ def convert_deeplabv3(state_dict: Mapping[str, Any], variables: Dict) -> Dict:
     return out
 
 
+def convert_torchvision_resnet(
+    state_dict: Mapping[str, Any], variables: Dict,
+    blocks=(2, 2, 2, 2), bottleneck: bool = False,
+) -> Dict:
+    """Merge a torchvision ResNet state_dict (resnet18/34/50) into
+    `models.baseline.ResNetReID` variables — the reference's ImageNet
+    trunks for ft_baseline / ft_net / AGW (ref baseline_lite.py:33,
+    resnet50.py:70, AGW_MODEL.py backbone). Heads (ClassBlock BNNeck,
+    classifier, non-local, GeM) keep their fresh init, exactly like the
+    reference which builds them on top of the pretrained trunk.
+
+    torchvision -> flax:  conv1/bn1 -> conv1/bn1;
+    layerL.B.{conv,bn}{1..3}, .downsample.{0,1} -> layerL_B.{...},
+    down_conv/down_bn. `blocks`/`bottleneck` must match the trunk
+    (resnet18: (2,2,2,2) basic; resnet50: (3,4,6,3) bottleneck).
+    Raises if nothing matched.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    loaded = 0
+
+    def bn(prefix_t, flax_path):
+        nonlocal loaded
+        if prefix_t + ".weight" not in sd:
+            return
+        loaded += _set(params, flax_path + ("scale",), sd[prefix_t + ".weight"])
+        loaded += _set(params, flax_path + ("bias",), sd[prefix_t + ".bias"])
+        loaded += _set(stats, flax_path + ("mean",),
+                       sd[prefix_t + ".running_mean"])
+        loaded += _set(stats, flax_path + ("var",),
+                       sd[prefix_t + ".running_var"])
+
+    def conv(prefix_t, flax_path):
+        nonlocal loaded
+        if prefix_t in sd:
+            loaded += _set(params, flax_path + ("kernel",),
+                           _conv(sd[prefix_t]))
+
+    conv("conv1.weight", ("conv1",))
+    bn("bn1", ("bn1",))
+    n_convs = 3 if bottleneck else 2
+    for li, nb in enumerate(blocks, start=1):
+        for bi in range(nb):
+            t = f"layer{li}.{bi}"
+            f = f"layer{li}_{bi}"
+            for ci in range(1, n_convs + 1):
+                conv(f"{t}.conv{ci}.weight", (f, f"conv{ci}"))
+                bn(f"{t}.bn{ci}", (f, f"bn{ci}"))
+            conv(f"{t}.downsample.0.weight", (f, "down_conv"))
+            bn(f"{t}.downsample.1", (f, "down_bn"))
+
+    if loaded == 0:
+        raise ValueError(
+            "convert_torchvision_resnet: no tensor matched (wrong "
+            "blocks/bottleneck for this checkpoint?)")
+    out = dict(variables)
+    out["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+    out["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    return out
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file to numpy (no CUDA needed)."""
     import torch

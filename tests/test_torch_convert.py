@@ -263,3 +263,125 @@ def test_full_model_parity_torch_vs_flax(rng):
         rel = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
         assert rel < 1e-3, rel
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# torchvision plain-ResNet trunks (ft_baseline / ft_net / AGW backbones)
+# ---------------------------------------------------------------------------
+
+class _TVBasic(tnn.Module):
+    def __init__(self, cin, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, planes, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.relu = tnn.ReLU()
+        self.downsample = None
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, planes, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(y + idt)
+
+
+class _TVBottleneck(tnn.Module):
+    def __init__(self, cin, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = None
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + idt)
+
+
+class _TVResNet(tnn.Module):
+    """torchvision-layout trunk with reid last-stride-1 on layer4."""
+
+    def __init__(self, blocks, bottleneck):
+        super().__init__()
+        blk = _TVBottleneck if bottleneck else _TVBasic
+        exp = 4 if bottleneck else 1
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        cin = 64
+        for li, (p, nb) in enumerate(zip((64, 128, 256, 512), blocks), 1):
+            mods = []
+            for b in range(nb):
+                stride = 2 if (li > 1 and b == 0 and li != 4) else 1
+                down = b == 0 and (li > 1 or exp > 1)
+                mods.append(blk(cin, p, stride, down))
+                cin = p * exp
+            setattr(self, f"layer{li}", tnn.Sequential(*mods))
+        self.blocks = blocks
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for li in range(1, 5):
+            x = getattr(self, f"layer{li}")(x)
+        return x.mean(dim=(2, 3))   # GAP feature
+
+
+def _randomize_tv(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        for m in model.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) * 0.5 + .75)
+
+
+@pytest.mark.parametrize("blocks,bottleneck", [
+    ((2, 2, 2, 2), False),   # resnet18 layout (ft_baseline)
+    ((1, 1, 1, 1), True),    # bottleneck layout (ft_net/AGW trunk family)
+])
+def test_convert_torchvision_resnet_trunk_parity(blocks, bottleneck):
+    from reid_tpu.models.baseline import ResNetReID
+    from reid_tpu.utils.torch_convert import convert_torchvision_resnet
+
+    tm = _TVResNet(blocks, bottleneck).eval()
+    _randomize_tv(tm)
+
+    fm = ResNetReID(num_classes=5, block="bottleneck" if bottleneck
+                    else "basic", blocks=blocks, pooling="avg",
+                    bottleneck_dim=0)
+    variables = jax.jit(lambda k, x: fm.init(k, x, train=True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 40, 3)))
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_torchvision_resnet(sd, variables, blocks=blocks,
+                                           bottleneck=bottleneck)
+
+    x = np.random.default_rng(3).normal(size=(2, 80, 40, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    # eval mode exercises the CONVERTED running stats; the fresh BNNeck is
+    # identity up to eps (mean 0 / var 1 / scale 1, no bias)
+    feat, _ = jax.jit(lambda v, xx: fm.apply(v, xx, train=False))(
+        variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(feat), want, rtol=2e-3, atol=2e-3)
