@@ -237,6 +237,10 @@ def gan_main(argv=None):
     p.add_argument("--ndf", type=int, default=64)
     p.add_argument("--groups", type=int, default=1,
                    help="k-means appearance groups (ref --k)")
+    p.add_argument("--embed_ckpt", default="",
+                   help="torchvision resnet50 .pt for the grouping "
+                        "features (ref kmeans_.py:16-34 ImageNet trunk); "
+                        "default: pooled color-pyramid representation")
     p.add_argument("--vae", action="store_true",
                    help="train the VAE-GAN instead of DCGAN (ref --vae)")
     p.add_argument("--wasserstein", action="store_true",
@@ -272,7 +276,11 @@ def gan_main(argv=None):
     else:
         groups = None
         if args.groups > 1:
-            groups = get_groups(images, args.groups)
+            embed_fn = None
+            if args.embed_ckpt:
+                from .gan import make_resnet_embed_fn
+                embed_fn = make_resnet_embed_fn(args.embed_ckpt)
+            groups = get_groups(images, args.groups, embed_fn=embed_fn)
             print("group sizes:", np.bincount(groups, minlength=args.groups))
         _, group_states = train_gan_groups(
             images, groups, k=args.groups, epochs=args.epochs,

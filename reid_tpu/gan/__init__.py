@@ -22,6 +22,7 @@ from .train import (
 from .driver import (
     generate_group_images,
     get_groups,
+    make_resnet_embed_fn,
     sample_vaegan,
     train_gan_groups,
     train_lsro_baseline,

@@ -62,6 +62,34 @@ def _default_repres(images: jnp.ndarray) -> jnp.ndarray:
     return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-6)
 
 
+def make_resnet_embed_fn(torch_ckpt: str):
+    """Reference-equivalent grouping representation: GAP features from a
+    torchvision ResNet50 trunk converted from a local torch checkpoint
+    (ref kmeans_.py:16-34 loads IMAGENET1K_V2 resnet50 from the hub).
+    Returns an `embed_fn(images [-1,1] or uint8) -> (N, 2048)` for
+    `get_groups(..., embed_fn=...)`."""
+    from ..models.baseline import ResNetReID
+    from ..utils.torch_convert import (convert_torchvision_resnet,
+                                       load_torch_state_dict)
+
+    model = ResNetReID(num_classes=1, block="bottleneck",
+                       blocks=(3, 4, 6, 3), pooling="avg", bottleneck_dim=0)
+    variables = jax.jit(lambda kk, x: model.init(kk, x, train=True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 64, 3)))
+    variables = convert_torchvision_resnet(
+        load_torch_state_dict(torch_ckpt), variables,
+        blocks=(3, 4, 6, 3), bottleneck=True)
+
+    def embed_fn(images):
+        x = images.astype(jnp.float32)
+        if images.dtype == jnp.uint8:
+            x = x / 127.5 - 1.0
+        feat, _ = model.apply(variables, x, train=False)
+        return feat
+
+    return embed_fn
+
+
 def get_groups(images: np.ndarray, k: int, key: Optional[jax.Array] = None,
                embed_fn: Optional[Callable] = None,
                batch: int = 256) -> np.ndarray:

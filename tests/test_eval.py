@@ -95,3 +95,34 @@ def test_market_attributes_roundtrip(tmp_path):
     assert d.shape == (4, 4)
     assert d[0, 0] == 0.0
     assert d.max() <= 1.0 + 1e-6
+
+
+def test_run_inference_plr_osnet_feature_only():
+    """Dual-head PLR-OSNet flows through the retrieval eval: the embedding
+    is the 2560-d part feature ONLY (reference eval contract,
+    ref plr_osnet.py:107-110) — regression for the tuple-logits crash."""
+    import jax
+
+    from reid_tpu.config import (Config, DataConfig, ModelConfig,
+                                 RetrievalConfig, TrainConfig)
+    from reid_tpu.data import synthetic_dataset
+    from reid_tpu.eval.inference import run_inference
+    from reid_tpu.models import build_model
+    from reid_tpu.train.state import create_train_state
+
+    cfg = Config(model=ModelConfig(backbone="plr_osnet", num_classes=4,
+                                   dtype="float32"),
+                 train=TrainConfig(batch_size=4),
+                 data=DataConfig(height=80, width=40),
+                 retrieval=RetrievalConfig(k1=6, k2=2,
+                                           dbscan_min_samples=2))
+    model = build_model("plr_osnet", num_classes=4)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg, 1,
+                               input_shape=(2, 80, 40, 3))
+    query = synthetic_dataset(n=4, num_pids=4, height=80, width=40, seed=1,
+                              cam_offset=3)
+    gallery = synthetic_dataset(n=8, num_pids=4, height=80, width=40, seed=2)
+    cmc, mAP = run_inference(state, query, gallery, cfg, rerank=True,
+                             verbose=False)
+    assert 0.0 <= mAP <= 1.0
+    assert cmc.shape[0] >= 1

@@ -184,3 +184,58 @@ def test_train_lsro_baseline(rng):
     # accuracy counts real samples only -> within [0, 1]
     assert 0.0 <= hist[-1]["acc"] <= 1.0
     assert "params" in state and "batch_stats" in state
+
+
+def test_make_resnet_embed_fn_grouping(tmp_path, rng):
+    """Reference-equivalent grouping features: a torchvision-layout resnet50
+    state_dict converts into the grouping embedder (ref kmeans_.py:16-34
+    ImageNet trunk role)."""
+    torch = pytest.importorskip("torch")
+
+    from reid_tpu.gan import get_groups, make_resnet_embed_fn
+
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name] = torch.randn((o, i, k, k), generator=g) * 0.05
+
+    def bn(name, c):
+        sd[name + ".weight"] = torch.rand(c, generator=g) + 0.5
+        sd[name + ".bias"] = torch.randn(c, generator=g) * 0.05
+        sd[name + ".running_mean"] = torch.randn(c, generator=g) * 0.05
+        sd[name + ".running_var"] = torch.rand(c, generator=g) * 0.5 + 0.75
+
+    conv("conv1.weight", 64, 3, 7)
+    bn("bn1", 64)
+    cin = 64
+    for li, (p, nb) in enumerate(zip((64, 128, 256, 512), (3, 4, 6, 3)), 1):
+        for b in range(nb):
+            t = f"layer{li}.{b}"
+            conv(f"{t}.conv1.weight", p, cin, 1)
+            bn(f"{t}.bn1", p)
+            conv(f"{t}.conv2.weight", p, p, 3)
+            bn(f"{t}.bn2", p)
+            conv(f"{t}.conv3.weight", p * 4, p, 1)
+            bn(f"{t}.bn3", p * 4)
+            if b == 0:
+                conv(f"{t}.downsample.0.weight", p * 4, cin, 1)
+                bn(f"{t}.downsample.1", p * 4)
+            cin = p * 4
+    path = tmp_path / "r50.pt"
+    torch.save(sd, str(path))
+
+    embed_fn = make_resnet_embed_fn(str(path))
+    import jax.numpy as jnp
+    imgs = jnp.asarray(rng.uniform(-1, 1, (4, 128, 64, 3)), jnp.float32)
+    feats = np.asarray(embed_fn(imgs))
+    assert feats.shape == (4, 2048)
+    assert np.isfinite(feats).all()
+
+    # grouping with the real embedder separates bright vs dark images
+    bright = rng.uniform(0.5, 1, (8, 128, 64, 3)).astype(np.float32)
+    dark = rng.uniform(-1, -0.5, (8, 128, 64, 3)).astype(np.float32)
+    groups = get_groups(np.concatenate([bright, dark]), 2,
+                        embed_fn=embed_fn)
+    assert len(set(groups[:8])) == 1 and len(set(groups[8:])) == 1
+    assert groups[0] != groups[8]
