@@ -220,6 +220,37 @@ def bench_tracking_botsort_gmc(model, variables, chunk=64, max_dets=32):
     return chunk / best
 
 
+def bench_embed_int8(model, variables, batch=256):
+    """ReID crop embedding throughput with post-training int8 quantization
+    (utils/quantize.py): Conv/Dense as s8 x s8 -> s32 on the MXU (v5e int8
+    peak is 2x bf16)."""
+    from reid_tpu.utils.quantize import quantize, quantized_apply
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 256, 128, 3)), jnp.float32)
+    calib = jnp.asarray(rng.normal(size=(64, 256, 128, 3)), jnp.float32)
+    qs = quantize(model, variables, [calib], train=False)
+
+    @jax.jit
+    def embed(v, images):
+        feat, _ = quantized_apply(model, v, qs, images, train=False)
+        return feat
+
+    def run(iters):
+        acc = None
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            f = embed(variables, x)
+            acc = f if acc is None else acc + f
+        _sync(acc)
+        return time.perf_counter() - t0
+
+    run(3)  # compile + warmup
+    iters = 30
+    dt = min(run(iters) for _ in range(3))
+    return batch * iters / dt
+
+
 def bench_yolo_forward(batch=8, hw=(384, 640)):
     """YOLOv5s forward+decode+NMS fps (bf16, batched frames in HBM)."""
     from reid_tpu.models.yolo import build_yolo, decode_yolo, nms_fixed
@@ -268,6 +299,8 @@ def main():
         "north_star_fps": 200.0,
     }
     for key, fn in (
+        ("reid_embed_crops_per_sec_int8",
+         lambda: bench_embed_int8(model, variables)),
         ("mot_tracking_fps_detector_in_loop",
          lambda: bench_tracking_detector_in_loop(model, variables)),
         ("mot_tracking_fps_botsort_gmc",

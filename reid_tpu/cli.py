@@ -392,6 +392,10 @@ def track_main(argv=None):
                         "e.g. swin 224 112)")
     p.add_argument("--max_frames", type=int, default=0,
                    help="stop after N frames (0 = all)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the ReID embed in post-training int8 "
+                        "(utils/quantize.py; v5e MXU 2x peak); calibrates "
+                        "on the first source frame when available")
     p.add_argument("--gt", default="",
                    help="MOT gt.txt: score the run with native CLEAR/IDF1 "
                         "metrics (TrackEval role) after tracking")
@@ -424,10 +428,46 @@ def track_main(argv=None):
         from .utils import restore_checkpoint
         variables = restore_checkpoint(args.ckpt, variables)
 
+    if args.int8:
+        # calibration crops: ImageNet-normalized patches from the first
+        # source frame (random crops), or synthetic image-range crops
+        from .utils.quantize import quantize, quantized_apply
+
+        rng_np = np.random.default_rng(0)
+        mean = np.asarray((0.485, 0.456, 0.406), np.float32)
+        std = np.asarray((0.229, 0.224, 0.225), np.float32)
+        try:
+            from .tracking.sources import iter_frames as _itf
+            _, frame0 = next(iter(_itf(args.source, 1)))
+            h0, w0 = frame0.shape[:2]
+            patches = []
+            for _ in range(32):
+                y = rng_np.integers(0, max(h0 - cfg.crop_hw[0], 1))
+                x = rng_np.integers(0, max(w0 - cfg.crop_hw[1], 1))
+                patch = frame0[y:y + cfg.crop_hw[0], x:x + cfg.crop_hw[1]]
+                patch = np.asarray(jax.image.resize(
+                    jnp.asarray(patch, jnp.float32),
+                    (*cfg.crop_hw, 3), "bilinear"))
+                patches.append(patch / 255.0)
+            calib = (np.stack(patches) - mean) / std
+        except Exception:
+            calib = (rng_np.random((32, *cfg.crop_hw, 3),
+                                   dtype=np.float32) - mean) / std
+        qstate = quantize(model, variables, [jnp.asarray(calib)],
+                          train=False)
+
+        def _forward(params, batch_stats, crops):
+            return quantized_apply(
+                model, {"params": params, "batch_stats": batch_stats},
+                qstate, crops.astype(jnp.bfloat16), train=False)
+    else:
+        def _forward(params, batch_stats, crops):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                crops.astype(jnp.bfloat16), train=False)
+
     def embed_fn(params, batch_stats, crops):
-        feat, logits = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            crops.astype(jnp.bfloat16), train=False)
+        feat, logits = _forward(params, batch_stats, crops)
         if isinstance(logits, tuple):
             # dual-head models (plr_osnet): reference eval emits the part
             # feature only (ref plr_osnet.py:107-110)

@@ -47,6 +47,28 @@ def test_track_cli_end_to_end(tmp_path):
     assert len(ids) == 2  # two stable tracks
 
 
+def test_track_cli_int8_serve(tmp_path):
+    """--int8: the PTQ-quantized embed path drives the tracker end-to-end
+    and still produces stable tracks (utils/quantize.py serve wiring)."""
+    det = tmp_path / "det.txt"
+    rows = []
+    for f in range(1, 7):
+        rows.append(f"{f},-1,{100 + 4 * f},100,30,60,0.9")
+        rows.append(f"{f},-1,{300 - 4 * f},200,30,60,0.9")
+    det.write_text("\n".join(rows) + "\n")
+    out = tmp_path / "out.txt"
+
+    from reid_tpu.cli import track_main
+    n = track_main(["--detections", str(det), "--save_txt", str(out),
+                    "--num_classes", "16", "--max_dets", "8",
+                    "--crop_hw", "64", "32", "--int8",
+                    "--tracking_method", "strongsort"])
+    assert n > 0
+    lines = out.read_text().strip().splitlines()
+    ids = {int(l.split(",")[1]) for l in lines}
+    assert len(ids) == 2
+
+
 def test_train_cli_end_to_end(tmp_path, monkeypatch):
     """Full CLI path: synthetic Market tree -> parse -> train 1 epoch."""
     from PIL import Image
