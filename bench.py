@@ -251,6 +251,64 @@ def bench_embed_int8(model, variables, batch=256):
     return batch * iters / dt
 
 
+def bench_tracking_int8(model, variables, chunk=64, max_dets=32):
+    """Headline tracking chunk with the ReID embed post-training-quantized
+    (utils/quantize.py): the embed is ~half the chunk time, so the int8
+    bandwidth win lifts end-to-end tracking fps."""
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.tracking.pipeline import make_chunked_tracker
+    from reid_tpu.tracking.tracker import init_tracker_state
+    from reid_tpu.utils.quantize import quantize, quantized_apply
+
+    cfg = TrackerConfig(max_tracks=64, max_dets=max_dets, n_init=2,
+                        crop_hw=(256, 128))
+    rng = np.random.default_rng(0)
+    # calibration in the crop-embed input distribution (ImageNet-normalized)
+    mean = np.asarray((0.485, 0.456, 0.406), np.float32)
+    std = np.asarray((0.229, 0.224, 0.225), np.float32)
+    calib = jnp.asarray(
+        (rng.random((64, 256, 128, 3), dtype=np.float32) - mean) / std)
+    qs = quantize(model, variables, [calib.astype(jnp.bfloat16)],
+                  train=False)
+
+    def embed_fn(params, batch_stats, crops):
+        feat, logits = quantized_apply(
+            model, {"params": params, "batch_stats": batch_stats}, qs,
+            crops.astype(jnp.bfloat16), train=False)
+        f = jnp.concatenate([feat.astype(jnp.float32),
+                             logits.astype(jnp.float32)], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
+                                     crop_budget=chunk * 16)
+    frames = jax.device_put(
+        rng.integers(0, 255, (chunk, 480, 640, 3)).astype(np.uint8))
+    tlwh = np.zeros((chunk, max_dets, 4), np.float32)
+    for t in range(chunk):
+        for j in range(16):
+            tlwh[t, j] = (20 + 6 * j + t, 50 + 10 * (j % 4), 40, 90)
+    tlwh = jax.device_put(tlwh)
+    conf = jax.device_put(np.full((chunk, max_dets), 0.9, np.float32))
+    valid = jax.device_put(np.concatenate(
+        [np.ones((chunk, 16), bool), np.zeros((chunk, 16), bool)], 1))
+    state = init_tracker_state(64, 512 + 751)
+    state, outs = run_chunk(variables["params"], variables["batch_stats"],
+                            state, frames, tlwh, conf, valid)
+    _sync(outs["tlwh"])  # compile
+    reps = 5
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, outs = run_chunk(variables["params"],
+                                    variables["batch_stats"], state,
+                                    frames, tlwh, conf, valid)
+        _sync(outs["tlwh"])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return chunk / best
+
+
 def bench_yolo_forward(batch=8, hw=(384, 640)):
     """YOLOv5s forward+decode+NMS fps (bf16, batched frames in HBM)."""
     from reid_tpu.models.yolo import build_yolo, decode_yolo, nms_fixed
@@ -301,6 +359,8 @@ def main():
     for key, fn in (
         ("reid_embed_crops_per_sec_int8",
          lambda: bench_embed_int8(model, variables)),
+        ("mot_tracking_fps_int8_embed",
+         lambda: bench_tracking_int8(model, variables)),
         ("mot_tracking_fps_detector_in_loop",
          lambda: bench_tracking_detector_in_loop(model, variables)),
         ("mot_tracking_fps_botsort_gmc",

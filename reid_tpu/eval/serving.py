@@ -26,35 +26,65 @@ from ..train.steps import embed_with_flip, eval_step
 from ..utils.export import export_serving_fn, load_serving_fn
 
 
-def make_embed_fn(state, tta_flip: bool = True) -> Callable:
+def make_embed_fn(state, tta_flip: bool = True, qstate=None) -> Callable:
     """Self-contained serving fn: images [0,255] (B,H,W,3) -> (B, 512+C)
     L2-normalized embeddings — the function the reference freezes into its
-    ONNX graph (inference_efficient, image_reid_inference.py:78-135)."""
+    ONNX graph (inference_efficient, image_reid_inference.py:78-135).
+
+    With `qstate` (utils/quantize.QuantState) the backbone's Conv/Dense
+    layers execute in int8 — the interception context wraps the traced body,
+    so the exported artifact carries the int8 graph."""
+    import contextlib
+
     apply_fn = state.apply_fn
     params = state.params
     batch_stats = state.batch_stats
+    if qstate is not None:
+        from ..utils.quantize import prune_quantized_kernels
+        params = prune_quantized_kernels(params, qstate)
 
     def embed(images):
-        x = inference_batch(images)
-        if tta_flip:
-            return embed_with_flip(apply_fn, params, batch_stats, x)
-        f, l = eval_step(apply_fn, params, batch_stats, x)
+        if qstate is not None:
+            from ..utils.quantize import quantized_context
+            ctx = quantized_context(qstate)
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            x = inference_batch(images)
+            if tta_flip:
+                return embed_with_flip(apply_fn, params, batch_stats, x)
+            f, l = eval_step(apply_fn, params, batch_stats, x)
 
-        def l2n(v):
-            return v / jnp.maximum(
-                jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            def l2n(v):
+                return v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
 
-        return l2n(jnp.concatenate(
-            [l2n(f.astype(jnp.float32)), l2n(l.astype(jnp.float32))], axis=1))
+            return l2n(jnp.concatenate(
+                [l2n(f.astype(jnp.float32)), l2n(l.astype(jnp.float32))],
+                axis=1))
 
     return embed
 
 
 def export_reid_artifact(state, path: str, height: int, width: int,
                          tta_flip: bool = True,
-                         dynamic_batch: bool = True) -> bytes:
-    """Serialize the full serving step (ref to_onnx, train_prepare.py:14-47)."""
-    embed = make_embed_fn(state, tta_flip=tta_flip)
+                         dynamic_batch: bool = True,
+                         int8_calib=None) -> bytes:
+    """Serialize the full serving step (ref to_onnx, train_prepare.py:14-47).
+
+    `int8_calib`: optional calibration images ([0,255], (N,H,W,3)) — when
+    given, the artifact is exported with the backbone post-training
+    quantized to int8 (utils/quantize.py; weights ship 4x smaller and the
+    v5e serves it ~1.2x faster at >=0.9999 feature cosine)."""
+    qstate = None
+    if int8_calib is not None:
+        from ..utils.quantize import calibrate_fn, quantize_weights
+
+        embed_f32 = make_embed_fn(state, tta_flip=tta_flip)
+        absmax = calibrate_fn(embed_f32, [jnp.asarray(int8_calib,
+                                                      jnp.float32)])
+        qstate = quantize_weights(None, {"params": state.params}, absmax)
+    embed = make_embed_fn(state, tta_flip=tta_flip, qstate=qstate)
     example = (jnp.zeros((2, height, width, 3), jnp.float32),)
     return export_serving_fn(embed, example, path,
                              dynamic_batch=dynamic_batch)

@@ -206,15 +206,8 @@ def _quantized_dense(m: nn.Dense, x, kq, sw, sx):
     return out.astype(m.dtype) if m.dtype is not None else out
 
 
-def quantized_apply(model: nn.Module, variables, qstate: QuantState,
-                    *args, **kwargs):
-    """`model.apply` with calibrated Conv/Dense layers executed in int8.
-
-    Layers without an entry in `qstate` (not selected / not calibrated) run
-    in their original precision; all other modules (norms, pooling,
-    attention, activations) are untouched — XLA fuses the dequant rescale
-    into the following elementwise chain.
-    """
+def quantization_interceptor(qstate: QuantState):
+    """Linen method interceptor executing calibrated Conv/Dense in int8."""
     kernels, w_scales, act_scales = (qstate.kernels, qstate.w_scales,
                                      qstate.act_scales)
 
@@ -228,8 +221,84 @@ def quantized_apply(model: nn.Module, variables, qstate: QuantState,
                           w_scales[path], act_scales[path])
         return next_fun(*args, **kwargs)
 
-    with nn.intercept_methods(interceptor):
+    return interceptor
+
+
+def quantized_context(qstate: QuantState):
+    """Context manager under which ANY Flax module call — whichever
+    apply_fn or helper invokes it — executes its calibrated Conv/Dense
+    layers in int8. Must be active while the computation is traced (wrap
+    the body of the function you jit, not the jit call site)."""
+    return nn.intercept_methods(quantization_interceptor(qstate))
+
+
+def quantized_apply(model: nn.Module, variables, qstate: QuantState,
+                    *args, **kwargs):
+    """`model.apply` with calibrated Conv/Dense layers executed in int8.
+
+    Layers without an entry in `qstate` (not selected / not calibrated) run
+    in their original precision; all other modules (norms, pooling,
+    attention, activations) are untouched — XLA fuses the dequant rescale
+    into the following elementwise chain.
+    """
+    with quantized_context(qstate):
         return model.apply(variables, *args, **kwargs)
+
+
+def calibrate_fn(fn: Callable, batches: Sequence[Any],
+                 select: Optional[Callable[[str, nn.Module], bool]] = None,
+                 ) -> Dict[str, float]:
+    """Calibrate through an arbitrary callable that invokes Flax modules
+    internally (e.g. a full serving step with normalization + TTA, possibly
+    with jit'd inner steps). Runs under `jax.disable_jit()` so every module
+    call executes eagerly and per-layer input absmax can be read concretely
+    (a cached jit'd inner step would otherwise skip tracing — and the
+    interceptor — entirely); use the jit-friendly `calibrate` when you hold
+    the model + variables directly."""
+    select = select or (lambda path, m: True)
+    stats: Dict[str, float] = {}
+
+    def interceptor(next_fun, args, kwargs, ctx):
+        if (_is_quantizable(ctx.module) and ctx.method_name == "__call__"
+                and select(_path_str(ctx.module), ctx.module)):
+            path = _path_str(ctx.module)
+            v = float(jnp.max(jnp.abs(args[0].astype(jnp.float32))))
+            stats[path] = max(stats.get(path, 0.0), v)
+        return next_fun(*args, **kwargs)
+
+    with jax.disable_jit(), nn.intercept_methods(interceptor):
+        for b in batches:
+            xs = b if isinstance(b, tuple) else (b,)
+            fn(*xs)
+    if not stats:
+        raise RuntimeError(
+            "calibration observed no Conv/Dense calls - fn does not invoke "
+            "Flax modules (or `select` rejected every layer)")
+    return stats
+
+
+def prune_quantized_kernels(params, qstate: QuantState):
+    """Replace each quantized layer's f32 kernel with a 1-element placeholder.
+
+    Under `quantized_context` those kernels are never read (the interceptor
+    short-circuits Conv/Dense.__call__ before `m.param("kernel")` binds), but
+    a jit'd inner step still threads the full params tree through its call —
+    and `jax.export` serializes pre-DCE, so the dead f32 kernels would ship
+    inside the artifact alongside the int8 ones (measured: +25% instead of
+    -75%). Biases and every non-quantized leaf are kept intact."""
+
+    def copy_containers(node):
+        if isinstance(node, (dict,)) or hasattr(node, "items"):
+            return {k: copy_containers(v) for k, v in node.items()}
+        return node
+
+    pruned = copy_containers(params)
+    for path in qstate.kernels:
+        node = pruned
+        for part in path.split("/"):
+            node = node[part]
+        node["kernel"] = jnp.zeros((1,), jnp.float32)
+    return pruned
 
 
 def make_quantized_embed_fn(model: nn.Module, qstate: QuantState):

@@ -156,3 +156,31 @@ def test_artifact_serving_roundtrip(trained, cfg, tmp_path):
                                  verbose=False)
     np.testing.assert_allclose(map_a, map_c, atol=1e-5)
     np.testing.assert_allclose(cmc_a, cmc_c, atol=1e-5)
+
+
+def test_artifact_int8_export(trained, tmp_path):
+    """int8-quantized StableHLO artifact (utils/quantize.py through
+    export_reid_artifact): ships ~4x smaller weights and reproduces the f32
+    serving embeddings to high cosine."""
+    from reid_tpu.eval.serving import (export_reid_artifact,
+                                       extract_embeddings_artifact,
+                                       load_serving_fn)
+
+    ds_raw, state, _ = trained
+    query = ReIDDataset(ds_raw.query, 4, 80, 40)
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, 255, (8, 80, 40, 3)).astype(np.float32)
+
+    p32 = str(tmp_path / "reid_f32.stablehlo")
+    p8 = str(tmp_path / "reid_int8.stablehlo")
+    export_reid_artifact(state, p32, height=80, width=40)
+    export_reid_artifact(state, p8, height=80, width=40, int8_calib=calib)
+    import os
+    assert os.path.getsize(p8) < 0.45 * os.path.getsize(p32), (
+        os.path.getsize(p8), os.path.getsize(p32))
+
+    emb8 = extract_embeddings_artifact(load_serving_fn(p8), query,
+                                       batch_size=8)
+    embf = extract_embeddings(state, query, batch_size=8)
+    cos = np.sum(emb8 * embf, axis=1)  # both rows are L2-normalized
+    assert cos.min() > 0.98, cos.min()
