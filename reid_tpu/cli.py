@@ -152,9 +152,16 @@ def inference_main(argv=None):
                         "big-gallery mode, ~2x at N=23k with S=256)")
     p.add_argument("--eps", type=float, default=0.55)
     p.add_argument("--attributes_mat", default="")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the embed post-training-quantized to int8 "
+                        "(calibrated on the first gallery batch; ~1.2x "
+                        "extraction throughput at >=0.9999 feature cosine)")
     args = p.parse_args(argv)
     if not args.ckpt and not args.artifact:
         p.error("need --ckpt or --artifact")
+    if args.int8 and args.artifact:
+        p.error("--int8 needs --ckpt (export an int8 artifact instead via "
+                "export_reid_artifact(int8_calib=...))")
 
     import jax
     import numpy as np
@@ -186,6 +193,13 @@ def inference_main(argv=None):
                         cfg.data.width)
     gallery = ReIDDataset(raw.gallery, raw.num_train_pids, cfg.data.height,
                           cfg.data.width)
+    if args.int8:
+        from .data.loader import make_eval_loader
+        from .eval.serving import make_int8_embed_fn
+        calib = next(iter(make_eval_loader(
+            gallery, min(args.bs, 32))))["images"]
+        embed_fn = make_int8_embed_fn(state, calib,
+                                      tta_flip=cfg.retrieval.tta_flip)
     attribute_dist = None
     if args.attributes_mat and args.dataset == "market1501":
         from .eval.attributes import get_attribute_dist, get_attributes

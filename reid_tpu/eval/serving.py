@@ -78,16 +78,42 @@ def export_reid_artifact(state, path: str, height: int, width: int,
     v5e serves it ~1.2x faster at >=0.9999 feature cosine)."""
     qstate = None
     if int8_calib is not None:
-        from ..utils.quantize import calibrate_fn, quantize_weights
-
-        embed_f32 = make_embed_fn(state, tta_flip=tta_flip)
-        absmax = calibrate_fn(embed_f32, [jnp.asarray(int8_calib,
-                                                      jnp.float32)])
-        qstate = quantize_weights(None, {"params": state.params}, absmax)
+        qstate = _calibrate_serving_qstate(state, int8_calib,
+                                           tta_flip=tta_flip)
     embed = make_embed_fn(state, tta_flip=tta_flip, qstate=qstate)
     example = (jnp.zeros((2, height, width, 3), jnp.float32),)
     return export_serving_fn(embed, example, path,
                              dynamic_batch=dynamic_batch)
+
+
+def _calibrate_serving_qstate(state, calib_images, tta_flip: bool = True):
+    """Calibrate + quantize through the exact tensors the serving step feeds
+    the model: `inference_batch` normalization, and (with TTA) the
+    concatenated [normal ; flipped] batch — one jit'd sow pass, not an eager
+    per-op walk (matters through the high-latency axon relay)."""
+    from ..utils.quantize import calibrate_with_apply, quantize_weights
+
+    x = inference_batch(jnp.asarray(calib_images, jnp.float32))
+    if tta_flip:
+        x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+    absmax = calibrate_with_apply(
+        state.apply_fn,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        [(x,)], cam=None, train=False)
+    return quantize_weights(None, {"params": state.params}, absmax)
+
+
+def make_int8_embed_fn(state, calib_images, tta_flip: bool = True) -> Callable:
+    """Jitted int8-quantized serving embed (utils/quantize.py PTQ): calibrate
+    the full serving step (normalization + TTA) on `calib_images` ([0,255],
+    (N,H,W,3)), then return fn(images) -> embeddings with the backbone's
+    Conv/Dense layers in int8. ~1.2x embed throughput on the v5e at >=0.9999
+    feature cosine vs the f32 path — the eval-extraction analog of
+    `track.py --int8`."""
+    import jax
+
+    qstate = _calibrate_serving_qstate(state, calib_images, tta_flip=tta_flip)
+    return jax.jit(make_embed_fn(state, tta_flip=tta_flip, qstate=qstate))
 
 
 def extract_embeddings_artifact(embed: Callable, dataset: ReIDDataset,
@@ -103,6 +129,7 @@ def extract_embeddings_artifact(embed: Callable, dataset: ReIDDataset,
 
 __all__ = [
     "make_embed_fn",
+    "make_int8_embed_fn",
     "export_reid_artifact",
     "extract_embeddings_artifact",
     "load_serving_fn",

@@ -41,8 +41,8 @@ def create_gan_state(key: jax.Array, generator, discriminator,
     kg, kd = jax.random.split(key)
     z = jnp.zeros((2, nz))
     x = jnp.zeros((2, *image_shape))
-    gv = generator.init(kg, z, train=True)
-    dv = discriminator.init(kd, x, train=True)
+    gv = jax.jit(lambda k, a: generator.init(k, a, train=True))(kg, z)
+    dv = jax.jit(lambda k, a: discriminator.init(k, a, train=True))(kd, x)
     g_tx = optax.adam(lr, b1=0.5, b2=0.999)
     d_tx = optax.adam(lr, b1=0.5, b2=0.999)
     state = GANState(
@@ -170,8 +170,9 @@ def make_vaegan_steps(vae, discriminator, vae_tx, d_tx,
     def init(key, image_shape=(128, 64, 3)):
         kv, kd, kr = jax.random.split(key, 3)
         x = jnp.zeros((2, *image_shape))
-        vv = vae.init({"params": kv}, x, kr, train=True)
-        dv = discriminator.init(kd, x, train=True)
+        vv = jax.jit(lambda k, a, r: vae.init({"params": k}, a, r,
+                                              train=True))(kv, x, kr)
+        dv = jax.jit(lambda k, a: discriminator.init(k, a, train=True))(kd, x)
         return VGState(
             step=jnp.zeros((), jnp.int32),
             vae_params=vv["params"], vae_stats=vv.get("batch_stats", {}),

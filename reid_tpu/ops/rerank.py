@@ -36,29 +36,38 @@ def _topk_mask(idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return m.at[rows, idx].set(True)
 
 
-@functools.partial(jax.jit, static_argnames=("s", "block_i"))
-def _minsum_topk(v: jnp.ndarray, s: int, block_i: int = 128) -> jnp.ndarray:
-    """tm[j, i] = sum_k min(v[i, k], v[j, k]) via top-S sparsification of the
-    i-side rows (the V encoding is a softmax over the k-reciprocal expansion
-    set — a few hundred nonzeros — so the top-S rows carry essentially all
-    mass). Per i-block, the S support columns are gathered from V and reduced
-    with a broadcast min: HBM traffic drops from O(N^3) to O(N^2 * S).
-    Measured on v5e at N=23k: 3.2 s vs 7.5 s for the dense Pallas-L1 path,
-    max |error| ~2e-7 when the true support fits in S."""
-    n = v.shape[0]
-    nb = -(-n // block_i)
-    npad = nb * block_i
-    vp = jnp.zeros((npad, n), v.dtype).at[:n].set(v) if npad != n else v
-    val, idx = jax.lax.top_k(vp, s)                    # (Np, S)
+def _minsum_topk_rows(v_rows: jnp.ndarray, v_all: jnp.ndarray, s: int,
+                      block_i: int = 128) -> jnp.ndarray:
+    """tm[i, j] = sum_k min(v_rows[i, k], v_all[j, k]) via top-S
+    sparsification of the v_rows side (the V encoding is a softmax over the
+    k-reciprocal expansion set — a few hundred nonzeros — so the top-S
+    entries carry essentially all mass). Per row-block, the S support columns
+    are gathered from v_all and reduced with a broadcast min: HBM traffic
+    drops from O(M*N*K) to O(M*N*S). Rectangular so it also serves the
+    row-sharded mesh path (v_rows = this shard's (N/p, N) block).
+    Measured on v5e at N=23k square: 3.2 s vs 7.5 s for the dense Pallas-L1
+    path, max |error| ~2e-7 when the true support fits in S."""
+    m, n = v_rows.shape[0], v_all.shape[0]
+    nb = -(-m // block_i)
+    mpad = nb * block_i
+    vp = (jnp.zeros((mpad, v_rows.shape[1]), v_rows.dtype).at[:m].set(v_rows)
+          if mpad != m else v_rows)
+    val, idx = jax.lax.top_k(vp, s)                    # (Mp, S)
 
     def body(args):
         vb, ib = args                                  # (Bi, S) each
-        g = v[:, ib.reshape(-1)].reshape(n, block_i, s)
+        g = v_all[:, ib.reshape(-1)].reshape(n, block_i, s)
         return jnp.sum(jnp.minimum(vb[None], g), axis=-1)   # (N, Bi)
 
     out = jax.lax.map(body, (val.reshape(nb, block_i, s),
                              idx.reshape(nb, block_i, s)))
-    return jnp.transpose(out, (1, 0, 2)).reshape(n, npad)[:, :n]
+    return jnp.transpose(out, (0, 2, 1)).reshape(mpad, n)[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("s", "block_i"))
+def _minsum_topk(v: jnp.ndarray, s: int, block_i: int = 128) -> jnp.ndarray:
+    """Square min-sum via `_minsum_topk_rows` (see there)."""
+    return _minsum_topk_rows(v, v, s, block_i=block_i)
 
 
 @functools.partial(jax.jit, static_argnames=("k1", "k2", "sparse_s"))
@@ -180,7 +189,7 @@ def _jaccard_from_rank(
 
 def compute_jaccard_distance_sharded(
     mesh, features: jnp.ndarray, k1: int = 20, k2: int = 6,
-    axis: str = "data",
+    axis: str = "data", sparse_s: Optional[int] = None,
 ) -> jnp.ndarray:
     """Row-sharded k-reciprocal Jaccard over a device mesh.
 
@@ -282,7 +291,19 @@ def compute_jaccard_distance_sharded(
     def jac_rows(v_rows, v_all):
         # auto-detect: Pallas on TPU (measured 69x over the XLA broadcast
         # at this slab shape — see ops/distance.py), jnp on the CPU test mesh
-        tm = 1.0 - 0.5 * pairwise_l1(v_rows, v_all)
+        if sparse_s is not None and sparse_s < n:
+            # per-shard exactness guard, same contract as the single-device
+            # path: the top-S min-sum is exact only while every LOCAL V row
+            # has <= S nonzeros — overflow falls back to the dense identity
+            # so sparse_s never silently changes retrieval results.
+            max_support = jnp.max(jnp.sum(v_rows > 0.0, axis=1))
+            tm = jax.lax.cond(
+                max_support <= sparse_s,
+                lambda: _minsum_topk_rows(v_rows, v_all, sparse_s),
+                lambda: 1.0 - 0.5 * pairwise_l1(v_rows, v_all),
+            )
+        else:
+            tm = 1.0 - 0.5 * pairwise_l1(v_rows, v_all)
         return jnp.maximum(1.0 - tm / (2.0 - tm), 0.0)
 
     out = shard_map(jac_rows, mesh, in_specs=(P(axis, None), P()),
@@ -295,16 +316,10 @@ def jaccard_distance(features: jnp.ndarray, k1: int = 20, k2: int = 6,
     """Mesh-aware dispatcher: row-sharded Jaccard when a multi-device mesh is
     given, the single-device path otherwise. This is what the product
     inference/pseudo-label drivers call. `sparse_s` selects the top-S
-    approximate min-sum on the single-device path (2.1x at N=23k, S=256)."""
+    min-sum on either path (2.1x at N=23k, S=256; runtime exactness guard
+    with dense fallback on support overflow)."""
     if mesh is not None and mesh.devices.size > 1:
-        if sparse_s:
-            import warnings
-
-            warnings.warn(
-                "jaccard_distance: sparse_s is not implemented on the "
-                "multi-device mesh path; using the dense row-sharded "
-                "Jaccard (results are exact, just not top-S accelerated)",
-                stacklevel=2)
-        return compute_jaccard_distance_sharded(mesh, features, k1=k1, k2=k2)
+        return compute_jaccard_distance_sharded(mesh, features, k1=k1, k2=k2,
+                                                sparse_s=sparse_s)
     return compute_jaccard_distance(features, k1=k1, k2=k2,
                                     sparse_s=sparse_s)

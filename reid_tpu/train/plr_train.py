@@ -37,8 +37,8 @@ def create_plr_train_state(key: jax.Array, cfg: Config,
                         num_cams=cfg.model.num_cams,
                         dtype=jnp.dtype(cfg.model.dtype))
     k1, k2, k3 = jax.random.split(key, 3)
-    variables = model.init(k1, jnp.zeros(input_shape, jnp.float32),
-                           train=True)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        k1, jnp.zeros(input_shape, jnp.float32))
     tx, center_tx = make_optimizers(cfg, steps_per_epoch)
     l1 = init_hybrid_state(k2, cfg.model.num_classes, 4 * 512)
     l2 = init_hybrid_state(k3, cfg.model.num_classes, 512)

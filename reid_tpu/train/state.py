@@ -106,8 +106,11 @@ def create_train_state(
 ) -> ReIDTrainState:
     k_init, k_drop, k_loss = jax.random.split(key, 3)
     dummy = jnp.zeros(input_shape, jnp.float32)
-    variables = model.init({"params": k_init, "dropout": k_drop}, dummy,
-                           train=True)
+    # jit the init: eager init dispatches hundreds of op-by-op compiles —
+    # ~60 s on a 1-CPU host and minutes through a high-latency TPU relay
+    variables = jax.jit(
+        lambda ks, x: model.init(ks, x, train=True)
+    )({"params": k_init, "dropout": k_drop}, dummy)
     tx, center_tx = make_optimizers(cfg, steps_per_epoch)
     loss_state = init_hybrid_state(
         k_loss, cfg.model.num_classes, cfg.model.feat_dim

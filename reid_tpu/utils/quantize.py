@@ -77,19 +77,17 @@ class QuantState:
                 "act_scales": self.act_scales}
 
 
-def calibrate(
-    model: nn.Module,
+def calibrate_with_apply(
+    apply_fn: Callable,
     variables,
     batches: Sequence[Any],
     select: Optional[Callable[[str, nn.Module], bool]] = None,
     **apply_kwargs,
 ) -> Dict[str, float]:
-    """Run calibration batches; return per-layer input absmax.
-
-    `batches`: sequence of positional-arg tuples (or single arrays) for
-    `model.apply`. Statistics are gathered with `Module.sow` inside a jit'd
-    apply — one compile, device-side maxima.
-    """
+    """`calibrate` over a bound `Module.apply` (e.g. a train state's
+    apply_fn) — one jit'd sow pass per batch, so it stays fast even through
+    a high-latency device link where the eager `calibrate_fn` would
+    dispatch hundreds of ops."""
     select = select or (lambda path, m: True)
 
     def interceptor(next_fun, args, kwargs, ctx):
@@ -106,8 +104,8 @@ def calibrate(
     @jax.jit
     def run(v, *xs):
         with nn.intercept_methods(interceptor):
-            _, stats = model.apply(v, *xs, mutable=[_COLLECTION],
-                                   **apply_kwargs)
+            _, stats = apply_fn(v, *xs, mutable=[_COLLECTION],
+                                **apply_kwargs)
         return stats[_COLLECTION]
 
     out: Dict[str, float] = {}
@@ -118,6 +116,23 @@ def calibrate(
         for k, v in flat.items():
             out[k] = max(out.get(k, 0.0), float(v))
     return out
+
+
+def calibrate(
+    model: nn.Module,
+    variables,
+    batches: Sequence[Any],
+    select: Optional[Callable[[str, nn.Module], bool]] = None,
+    **apply_kwargs,
+) -> Dict[str, float]:
+    """Run calibration batches; return per-layer input absmax.
+
+    `batches`: sequence of positional-arg tuples (or single arrays) for
+    `model.apply`. Statistics are gathered with `Module.sow` inside a jit'd
+    apply — one compile, device-side maxima.
+    """
+    return calibrate_with_apply(model.apply, variables, batches,
+                                select=select, **apply_kwargs)
 
 
 def _flatten_sow(tree, prefix=()) -> Dict[str, float]:

@@ -148,3 +148,11 @@ def test_sharded_jaccard_matches_dense(rng):
     got = np.asarray(compute_jaccard_distance_sharded(
         mesh, jnp.asarray(feats), k1=8, k2=3))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # top-S sparse min-sum on the mesh path: S wide enough for the V support
+    # -> exact; S=1 overflows every row -> dense fallback via the runtime
+    # guard, still exact (never silently approximate).
+    for s in (48, 1):
+        got_s = np.asarray(compute_jaccard_distance_sharded(
+            mesh, jnp.asarray(feats), k1=8, k2=3, sparse_s=s))
+        np.testing.assert_allclose(got_s, want, rtol=1e-4, atol=1e-4)

@@ -158,6 +158,25 @@ def test_artifact_serving_roundtrip(trained, cfg, tmp_path):
     np.testing.assert_allclose(cmc_a, cmc_c, atol=1e-5)
 
 
+def test_int8_inference_retrieval_parity(trained, cfg):
+    """run_inference through the int8-quantized embed (make_int8_embed_fn):
+    retrieval quality matches the f32 path on the tiny synthetic Market."""
+    from reid_tpu.data.loader import make_eval_loader
+    from reid_tpu.eval.serving import make_int8_embed_fn
+
+    ds_raw, state, _ = trained
+    query = ReIDDataset(ds_raw.query, 4, 80, 40)
+    gallery = ReIDDataset(ds_raw.gallery, 4, 80, 40)
+    calib = next(iter(make_eval_loader(gallery, 8)))["images"]
+    embed8 = make_int8_embed_fn(state, calib)
+    cmc8, map8 = run_inference(None, query, gallery, cfg, rerank=False,
+                               embed_fn=embed8, verbose=False)
+    cmc, map_ = run_inference(state, query, gallery, cfg, rerank=False,
+                              verbose=False)
+    assert abs(map8 - map_) < 0.05, (map8, map_)
+    assert abs(cmc8[0] - cmc[0]) < 0.26  # 1 flip tolerated on 4 queries
+
+
 def test_artifact_int8_export(trained, tmp_path):
     """int8-quantized StableHLO artifact (utils/quantize.py through
     export_reid_artifact): ships ~4x smaller weights and reproduces the f32
