@@ -309,6 +309,67 @@ def bench_tracking_int8(model, variables, chunk=64, max_dets=32):
     return chunk / best
 
 
+def bench_tracking_multistream(model, variables, n_streams=8, chunk=64,
+                               max_dets=32):
+    """Aggregate single-chip fps for S independent camera streams vmapped
+    through ONE chunk program (tracking/streams.py, mesh=None) with the int8
+    embed: the association scan's small per-frame ops batch over the stream
+    axis and the embed conv batch grows S-fold, so aggregate throughput
+    exceeds the single-stream ceiling (measured v5e: 913 fps S=1 -> 1135
+    aggregate at S=8). The serving posture for multi-camera deployments."""
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.tracking.streams import (init_stream_states,
+                                           make_stream_tracker)
+    from reid_tpu.utils.quantize import quantize, quantized_apply
+
+    cfg = TrackerConfig(max_tracks=64, max_dets=max_dets, n_init=2,
+                        crop_hw=(256, 128))
+    rng = np.random.default_rng(0)
+    mean = np.asarray((0.485, 0.456, 0.406), np.float32)
+    std = np.asarray((0.229, 0.224, 0.225), np.float32)
+    calib = jnp.asarray(
+        (rng.random((64, 256, 128, 3), dtype=np.float32) - mean) / std)
+    qs = quantize(model, variables, [calib.astype(jnp.bfloat16)],
+                  train=False)
+
+    def embed_fn(params, batch_stats, crops):
+        feat, logits = quantized_apply(
+            model, {"params": params, "batch_stats": batch_stats}, qs,
+            crops.astype(jnp.bfloat16), train=False)
+        f = jnp.concatenate([feat.astype(jnp.float32),
+                             logits.astype(jnp.float32)], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    s = n_streams
+    run = make_stream_tracker(cfg, embed_fn, cfg.crop_hw, chunk=chunk,
+                              crop_budget=chunk * 16)
+    frames = jax.device_put(
+        rng.integers(0, 255, (s, chunk, 480, 640, 3)).astype(np.uint8))
+    tlwh = np.zeros((s, chunk, max_dets, 4), np.float32)
+    for t in range(chunk):
+        for j in range(16):
+            tlwh[:, t, j] = (20 + 6 * j + t, 50 + 10 * (j % 4), 40, 90)
+    tlwh = jax.device_put(tlwh)
+    conf = jax.device_put(np.full((s, chunk, max_dets), 0.9, np.float32))
+    valid = jax.device_put(np.concatenate(
+        [np.ones((s, chunk, 16), bool), np.zeros((s, chunk, 16), bool)], 2))
+    st = init_stream_states(s, 64, 512 + 751)
+    st, outs = run(variables["params"], variables["batch_stats"], st,
+                   frames, tlwh, conf, valid)
+    _sync(outs["tlwh"])  # compile
+    reps = 5
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            st, outs = run(variables["params"], variables["batch_stats"],
+                           st, frames, tlwh, conf, valid)
+        _sync(outs["tlwh"])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return s * chunk / best
+
+
 def bench_yolo_forward(batch=8, hw=(384, 640)):
     """YOLOv5s forward+decode+NMS fps (bf16, batched frames in HBM)."""
     from reid_tpu.models.yolo import build_yolo, decode_yolo, nms_fixed
@@ -361,6 +422,8 @@ def main():
          lambda: bench_embed_int8(model, variables)),
         ("mot_tracking_fps_int8_embed",
          lambda: bench_tracking_int8(model, variables)),
+        ("mot_tracking_fps_multistream8_aggregate",
+         lambda: bench_tracking_multistream(model, variables)),
         ("mot_tracking_fps_detector_in_loop",
          lambda: bench_tracking_detector_in_loop(model, variables)),
         ("mot_tracking_fps_botsort_gmc",
