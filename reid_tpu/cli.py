@@ -407,9 +407,10 @@ def track_main(argv=None):
     p.add_argument("--max_frames", type=int, default=0,
                    help="stop after N frames (0 = all)")
     p.add_argument("--int8", action="store_true",
-                   help="serve the ReID embed in post-training int8 "
-                        "(utils/quantize.py; v5e MXU 2x peak); calibrates "
-                        "on the first source frame when available")
+                   help="serve the ReID embed (and the yolov5 detector "
+                        "trunk, when selected) in post-training int8 "
+                        "(utils/quantize.py); calibrates on the first "
+                        "source frame when available")
     p.add_argument("--gt", default="",
                    help="MOT gt.txt: score the run with native CLEAR/IDF1 "
                         "metrics (TrackEval role) after tracking")
@@ -523,9 +524,23 @@ def track_main(argv=None):
         elif args.det_ckpt:
             from .utils import restore_checkpoint
             dvars = restore_checkpoint(args.det_ckpt, dvars)
+        qstate_y = None
+        if args.int8:
+            # int8 trunk for the detector too (same PTQ machinery as the
+            # embed): calibrate on the first source frame when available
+            from .models.yolo import quantize_yolo
+            try:
+                from .tracking.sources import iter_frames as _itf
+                _, frame0 = next(iter(_itf(args.source, 1)))
+                calib_frames = frame0[None]
+            except Exception:
+                calib_frames = np.random.default_rng(0).integers(
+                    0, 255, (1, *det_hw, 3)).astype(np.uint8)
+            qstate_y = quantize_yolo(det_model, dvars, calib_frames, det_hw)
         detect = make_yolo_detector_fn(det_model, dvars, det_hw,
                                        max_dets=cfg.max_dets,
-                                       conf_thres=args.conf_thres)
+                                       conf_thres=args.conf_thres,
+                                       qstate=qstate_y)
     else:
         from .models.detector import CenterNetLite
         from .train.detector_train import make_detector_fn
