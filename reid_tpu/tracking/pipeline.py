@@ -54,10 +54,22 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
     wy = hat_weights(boxes[:, 1], boxes[:, 3], ch, h)   # (D, ch, H)
     wx = hat_weights(boxes[:, 0], boxes[:, 2], cw, w)   # (D, cw, W)
     imgf = img.astype(jnp.float32)
-    rows = jnp.einsum("dih,hwc->diwc", wy, imgf,
-                      preferred_element_type=jnp.float32)  # (D, ch, W, 3)
-    out = jnp.einsum("diwc,djw->dijc", rows, wx,
-                     preferred_element_type=jnp.float32)   # (D, ch, cw, 3)
+    # contraction order is a 2x-level FLOP lever: Y-first costs
+    # D*C*(ch*H*W + ch*cw*W) MACs, X-first D*C*(cw*W*H + ch*H*cw) — for the
+    # serve shapes (256x128 crops from 480x640) X-first is 45% cheaper.
+    # Shapes are static, so pick at trace time.
+    cost_y_first = ch * h * w + ch * cw * w
+    cost_x_first = cw * w * h + ch * h * cw
+    if cost_x_first < cost_y_first:
+        cols = jnp.einsum("djw,hwc->djhc", wx, imgf,
+                          preferred_element_type=jnp.float32)  # (D, cw, H, 3)
+        out = jnp.einsum("djhc,dih->dijc", cols, wy,
+                         preferred_element_type=jnp.float32)   # (D,ch,cw,3)
+    else:
+        rows = jnp.einsum("dih,hwc->diwc", wy, imgf,
+                          preferred_element_type=jnp.float32)  # (D, ch, W, 3)
+        out = jnp.einsum("diwc,djw->dijc", rows, wx,
+                         preferred_element_type=jnp.float32)   # (D,ch,cw,3)
     return out
 
 
