@@ -409,11 +409,16 @@ def track_main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="serve the ReID embed (and the yolov5 detector "
                         "trunk, when selected) in post-training int8 "
-                        "(utils/quantize.py); calibrates on the first "
-                        "source frame when available")
+                        "(utils/quantize.py); calibrates activation scales "
+                        "on the first 8 source frames when available "
+                        "(synthetic-noise fallback otherwise, which gives "
+                        "weak per-tensor scales — prefer a real --source)")
     p.add_argument("--gt", default="",
-                   help="MOT gt.txt: score the run with native CLEAR/IDF1 "
-                        "metrics (TrackEval role) after tracking")
+                   help="MOT16 gt.txt (full 9-column): score the run with "
+                        "the native TrackEval-exact CLEAR/IDF1 metrics "
+                        "(MotChallenge2DBox preprocessing incl. distractor-"
+                        "matched det removal + zero-mark/pedestrian gt "
+                        "filter) after tracking")
     args = p.parse_args(argv)
     if not args.source and args.frames_dir:
         args.source = args.frames_dir
@@ -444,8 +449,11 @@ def track_main(argv=None):
         variables = restore_checkpoint(args.ckpt, variables)
 
     if args.int8:
-        # calibration crops: ImageNet-normalized patches from the first
-        # source frame (random crops), or synthetic image-range crops
+        # calibration crops: ImageNet-normalized patches drawn from the
+        # first 8 source frames (a single frame gives weak per-tensor
+        # activation scales that can clip real activations — ADVICE r3);
+        # synthetic image-range crops as the last-resort fallback, with a
+        # documented accuracy caveat in --help
         from .utils.quantize import quantize, quantized_apply
 
         rng_np = np.random.default_rng(0)
@@ -453,17 +461,21 @@ def track_main(argv=None):
         std = np.asarray((0.229, 0.224, 0.225), np.float32)
         try:
             from .tracking.sources import iter_frames as _itf
-            _, frame0 = next(iter(_itf(args.source, 1)))
-            h0, w0 = frame0.shape[:2]
+            calib_src = [fr for _, fr in _itf(args.source, 8)]
+            if not calib_src:
+                raise ValueError("empty source")
             patches = []
-            for _ in range(32):
-                y = rng_np.integers(0, max(h0 - cfg.crop_hw[0], 1))
-                x = rng_np.integers(0, max(w0 - cfg.crop_hw[1], 1))
-                patch = frame0[y:y + cfg.crop_hw[0], x:x + cfg.crop_hw[1]]
-                patch = np.asarray(jax.image.resize(
-                    jnp.asarray(patch, jnp.float32),
-                    (*cfg.crop_hw, 3), "bilinear"))
-                patches.append(patch / 255.0)
+            for fi, frame0 in enumerate(calib_src):
+                h0, w0 = frame0.shape[:2]
+                for _ in range(max(32 // len(calib_src), 4)):
+                    y = rng_np.integers(0, max(h0 - cfg.crop_hw[0], 1))
+                    x = rng_np.integers(0, max(w0 - cfg.crop_hw[1], 1))
+                    patch = frame0[y:y + cfg.crop_hw[0],
+                                   x:x + cfg.crop_hw[1]]
+                    patch = np.asarray(jax.image.resize(
+                        jnp.asarray(patch, jnp.float32),
+                        (*cfg.crop_hw, 3), "bilinear"))
+                    patches.append(patch / 255.0)
             calib = (np.stack(patches) - mean) / std
         except Exception:
             calib = (rng_np.random((32, *cfg.crop_hw, 3),
@@ -527,15 +539,18 @@ def track_main(argv=None):
         qstate_y = None
         if args.int8:
             # int8 trunk for the detector too (same PTQ machinery as the
-            # embed): calibrate on the first source frame when available
+            # embed): calibrate on the first 8 source frames when available
+            # (multi-frame sample -> robust activation scales, ADVICE r3)
             from .models.yolo import quantize_yolo
             try:
                 from .tracking.sources import iter_frames as _itf
-                _, frame0 = next(iter(_itf(args.source, 1)))
-                calib_frames = frame0[None]
+                calib_list = [fr for _, fr in _itf(args.source, 8)]
+                if not calib_list:
+                    raise ValueError("empty source")
+                calib_frames = np.stack(calib_list)
             except Exception:
                 calib_frames = np.random.default_rng(0).integers(
-                    0, 255, (1, *det_hw, 3)).astype(np.uint8)
+                    0, 255, (8, *det_hw, 3)).astype(np.uint8)
             qstate_y = quantize_yolo(det_model, dvars, calib_frames, det_hw)
         detect = make_yolo_detector_fn(det_model, dvars, det_hw,
                                        max_dets=cfg.max_dets,
@@ -592,9 +607,11 @@ def track_main(argv=None):
     print(f"{rows} rows -> {args.save_txt}; "
           f"timing: {pipe.timing_summary()}")
     if args.gt:
-        from .tracking.metrics import evaluate_clear_identity, load_mot_frames
-        m = evaluate_clear_identity(load_mot_frames(args.gt),
-                                    load_mot_frames(args.save_txt))
+        # TrackEval-exact scoring: full 9-column gt parse + MotChallenge2DBox
+        # preprocessing (distractor-matched det removal, zero-mark +
+        # pedestrian filter, crowd exclusion) before CLEAR/Identity
+        from .tracking.metrics import evaluate_mot16
+        m = evaluate_mot16(args.gt, args.save_txt)
         print("  ".join(f"{k}: {v:.2f}" for k, v in m.items()))
         return m
     return rows

@@ -37,24 +37,70 @@ class IVFIndex(NamedTuple):
 
 
 def build_ivf(key: jax.Array, gallery: jnp.ndarray, nlist: int = 64,
-              iters: int = 25) -> IVFIndex:
-    """Train the coarse quantizer and bucket the gallery (host reorder)."""
+              iters: int = 25, max_imbalance: float = 4.0) -> IVFIndex:
+    """Train the coarse quantizer and bucket the gallery (host reorder).
+
+    Buckets are padded to the LARGEST cluster, so a skewed clustering would
+    make the (C, B, D) tensor approach C x n and `ivf_topk` would gather
+    nprobe*B rows per query — worse than brute force. Clusters larger than
+    `max_imbalance * n/nlist` are therefore re-split with a tiny 2-means
+    (bounded at 4*nlist total lists); a warning is emitted if balance still
+    cannot be reached (e.g. many identical rows). The returned index may
+    hold more than `nlist` lists — probe `len(index.centroids)` for an
+    exact search.
+    """
+    import warnings
+
     from .kmeans import kmeans
 
     labels, centroids = kmeans(key, gallery, k=nlist, iters=iters)
     labels = np.asarray(labels)
     g = np.asarray(gallery)
-    counts = np.bincount(labels, minlength=nlist)
-    b = max(int(counts.max()), 1)
-    c, d = nlist, g.shape[1]
+    groups = [np.nonzero(labels == c)[0] for c in range(nlist)]
+
+    target = max(max_imbalance * len(g) / max(nlist, 1), 1.0)
+    rng = np.random.default_rng(0)  # split seeding: kmeans consumed `key`
+    unsplittable: set = set()
+    while len(groups) < 4 * nlist:
+        big = max(range(len(groups)), key=lambda i: len(groups[i]))
+        if len(groups[big]) <= target or big in unsplittable:
+            break
+        idx = groups[big]
+        pts = g[idx].astype(np.float64)
+        # tiny host 2-means to halve the oversized cluster
+        seeds = pts[rng.choice(len(pts), 2, replace=False)]
+        for _ in range(8):
+            assign = (((pts[:, None, :] - seeds[None]) ** 2).sum(-1)
+                      .argmin(1))
+            if assign.min() == assign.max():
+                break
+            seeds = np.stack([pts[assign == j].mean(0) for j in (0, 1)])
+        if assign.min() == assign.max():  # identical rows: cannot split
+            unsplittable.add(big)
+            continue
+        groups[big] = idx[assign == 0]
+        groups.append(idx[assign == 1])
+        unsplittable.discard(big)
+
+    sizes = np.asarray([len(gr) for gr in groups])
+    if sizes.max() > target:
+        warnings.warn(
+            f"build_ivf: largest list holds {int(sizes.max())} of {len(g)} "
+            f"rows after re-splitting (> {max_imbalance}x the n/nlist "
+            "average); ivf_topk will gather near-brute-force volumes — "
+            "consider brute-force topk_neighbors for this gallery")
+
+    b = max(int(sizes.max()), 1)
+    c, d = len(groups), g.shape[1]
     buckets = np.zeros((c, b, d), g.dtype)
     ids = np.full((c, b), -1, np.int32)
-    fill = np.zeros(c, np.int32)
-    for i, lab in enumerate(labels):
-        buckets[lab, fill[lab]] = g[i]
-        ids[lab, fill[lab]] = i
-        fill[lab] += 1
-    return IVFIndex(jnp.asarray(centroids), jnp.asarray(buckets),
+    cents = np.zeros((c, d), np.float32)
+    for ci, idx in enumerate(groups):
+        buckets[ci, : len(idx)] = g[idx]
+        ids[ci, : len(idx)] = idx
+        cents[ci] = (g[idx].mean(0) if len(idx)
+                     else np.asarray(centroids)[min(ci, nlist - 1)])
+    return IVFIndex(jnp.asarray(cents), jnp.asarray(buckets),
                     jnp.asarray(ids), g.shape[0])
 
 

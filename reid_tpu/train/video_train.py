@@ -165,8 +165,9 @@ def train_video(cfg: Config, dataset: VideoTrackletDataset,
     from .optim import madgrad
     schedule = optax.exponential_decay(1e-4, transition_steps=300,
                                        decay_rate=0.5, staircase=True)
-    tx = optax.chain(optax.clip_by_global_norm(10.0),
-                     madgrad(schedule, momentum=0.0, weight_decay=5e-4))
+    # no gradient clipping: the reference applies none on the video path
+    # (ref video_reid_train.py:115 builds bare MADGRAD)
+    tx = madgrad(schedule, momentum=0.0, weight_decay=5e-4)
     loss_state = init_hybrid_state(jax.random.PRNGKey(1), num_classes, 2048)
     step = make_video_train_step(cfg, model, tx)
 

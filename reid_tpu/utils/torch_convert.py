@@ -330,7 +330,12 @@ def convert_yolov5(state_dict: Mapping[str, Any], variables: Dict) -> Dict:
         if k.startswith("model.model."):
             k = k[len("model."):]
         if not k.startswith("model."):
-            continue
+            # bare DetectionModel state_dict ('0.conv.weight', ...): the
+            # layer index is the first segment — normalize to 'model.{i}.'
+            if k.split(".", 1)[0].isdigit():
+                k = "model." + k
+            else:
+                continue
         parts = k.split(".")
         idx = parts[1]
         rest = parts[2:]

@@ -234,6 +234,28 @@ def test_ivf_high_recall_on_clustered_gallery(rng):
     assert np.asarray(i_ivf).min() >= 0
 
 
+def test_ivf_resplits_skewed_clusters(rng):
+    """A gallery where k-means lumps ~80% of rows into one cluster must be
+    re-split so the padded bucket tensor stays near n/nlist wide (ADVICE
+    r3: skew silently degraded the HBM win to worse-than-brute-force)."""
+    from reid_tpu.ops import build_ivf, ivf_topk, topk_neighbors
+
+    # one tight blob (800 rows) + scattered far-away singleton clusters
+    blob = rng.normal(size=(800, 12)) * 0.05
+    far = rng.normal(size=(200, 12)) * 0.05 + rng.integers(
+        -50, 50, (200, 1)) * np.eye(1, 12)
+    g = jnp.asarray(np.concatenate([blob, far]), jnp.float32)
+    idx = build_ivf(jax.random.PRNGKey(0), g, nlist=16)
+    n, nlist = 1000, 16
+    # padded width stays within the imbalance bound (default 4x average)
+    assert idx.buckets.shape[1] <= 4.0 * n / nlist + 1, idx.buckets.shape
+    # exactness contract survives the split: probe every list
+    q = jnp.asarray(rng.normal(size=(17, 12)), jnp.float32)
+    d_ivf, i_ivf = ivf_topk(idx, q, k=5, nprobe=int(idx.centroids.shape[0]))
+    _, i_bf = topk_neighbors(q, g, k=5)
+    np.testing.assert_array_equal(np.asarray(i_ivf), np.asarray(i_bf))
+
+
 def test_jaccard_ivf_close_to_exact(rng):
     """IVF-ranked Jaccard (ref faiss_utils.py:158-181 search options) tracks
     the exact ranking closely on clustered galleries, and is IDENTICAL when

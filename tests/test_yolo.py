@@ -185,6 +185,24 @@ def test_convert_yolov5_rejects_mismatched_checkpoint():
                        variables)
 
 
+def test_convert_yolov5_accepts_bare_state_dict():
+    """A DetectionModel.state_dict() without the 'model.' prefix
+    ('0.conv.weight', ...) must load identically (ADVICE r3)."""
+    tm = TorchYOLOv5("yolov5p", nc=1).eval()
+    _randomize_torch(tm)
+    fm = build_yolo("yolov5p", num_classes=1)
+    variables = jax.jit(lambda k, x: fm.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    sd_bare = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd_pref = {"model." + k: v for k, v in sd_bare.items()}
+    v_bare = convert_yolov5(sd_bare, variables)
+    v_pref = convert_yolov5(sd_pref, variables)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        v_bare["params"], v_pref["params"])
+
+
 # ---------------------------------------------------------------------------
 # decode + NMS oracles
 # ---------------------------------------------------------------------------
