@@ -23,5 +23,13 @@ from .kalman import (
 from .costs import diou_matrix, iou_matrix, appearance_cost
 from .assignment import auction_assign, hungarian_host
 from .tracker import TrackerState, Tracker, init_tracker_state
+from .metrics import (
+    combine_sequences,
+    evaluate_clear_identity,
+    evaluate_mot16,
+    load_mot_frames,
+    load_mot_gt,
+    preprocess_mot,
+)
 from .mot import load_mot_detections, write_mot_txt
 from .streams import init_stream_states, make_stream_tracker

@@ -149,13 +149,43 @@ def evaluate_clear_identity(
         "IDF1": 100.0 * idf1,
         "IDP": 100.0 * idtp / max(num_hyp, 1),
         "IDR": 100.0 * idtp / max(num_gt, 1),
+        "IDTP": float(idtp),
         "num_gt": float(num_gt),
+        "num_hyp": float(num_hyp),
+    }
+
+
+def combine_sequences(per_seq: Dict[str, Dict[str, float]]
+                      ) -> Dict[str, float]:
+    """TrackEval-style COMBINED row: sum the integer counters over
+    sequences and recompute the ratios (clear.py/identity.py
+    combine_sequences), rather than averaging per-sequence percentages."""
+    tot = {k: sum(m[k] for m in per_seq.values())
+           for k in ("FP", "FN", "TP", "IDSW", "Frag", "IDTP", "num_gt",
+                     "num_hyp")}
+    motp_sum = sum(m["MOTP"] * m["TP"] for m in per_seq.values()) / 100.0
+    return {
+        "MOTA": 100.0 * (1.0 - (tot["FN"] + tot["FP"] + tot["IDSW"])
+                         / max(tot["num_gt"], 1)),
+        "MOTP": 100.0 * motp_sum / max(tot["TP"], 1),
+        "IDSW": tot["IDSW"], "Frag": tot["Frag"], "FP": tot["FP"],
+        "FN": tot["FN"], "TP": tot["TP"],
+        "IDF1": 200.0 * tot["IDTP"] / max(tot["num_gt"] + tot["num_hyp"], 1),
+        "IDP": 100.0 * tot["IDTP"] / max(tot["num_hyp"], 1),
+        "IDR": 100.0 * tot["IDTP"] / max(tot["num_gt"], 1),
+        "IDTP": tot["IDTP"], "num_gt": tot["num_gt"],
+        "num_hyp": tot["num_hyp"],
     }
 
 
 def load_mot_frames(path: str) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-    """Parse a MOT gt.txt / result txt into {frame: (tlwh, ids)}; keeps only
-    pedestrian class for 9-column gt files (class column == 1)."""
+    """Parse a MOT RESULT txt (frame,id,l,t,w,h[,conf,-1,-1,-1]) into
+    {frame: (tlwh, ids)}.
+
+    For 9-column MOT16 gt files prefer `load_mot_gt` + `preprocess_mot`
+    (TrackEval's MotChallenge2DBox semantics: distractor-match removal,
+    zero-mark + pedestrian-class gt filter); this simple parser keeps only
+    class ∈ {1, -1} rows and applies NO preprocessing."""
     per: Dict[int, list] = defaultdict(list)
     with open(path) as f:
         for line in f:
@@ -171,3 +201,132 @@ def load_mot_frames(path: str) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         out[fidx] = (np.asarray([r[0] for r in rows], float),
                      np.asarray([r[1] for r in rows], int))
     return out
+
+
+# ---------------------------------------------------------------------------
+# TrackEval MotChallenge2DBox preprocessing (the semantics behind the
+# reference's MOT16_eval/eval.sh:107-109 run_mot_challenge.py scoring).
+# MOT class ids (MOTChallenge devkit): 1 pedestrian, 2 person_on_vehicle,
+# 3 car, 4 bicycle, 5 motorbike, 6 non_mot_vehicle, 7 static_person,
+# 8 distractor, 9-11 occluders, 12 reflection, 13 crowd.
+# ---------------------------------------------------------------------------
+
+MOT_PEDESTRIAN = 1
+MOT_DISTRACTOR_CLASSES = (2, 7, 8, 12)  # person_on_vehicle, static_person,
+                                        # distractor, reflection
+MOT_CROWD_CLASS = 13
+
+
+def load_mot_gt(path: str) -> Dict[int, Dict[str, np.ndarray]]:
+    """Parse a FULL 9-column MOT16/17/20 gt.txt:
+    frame,id,left,top,w,h,conf(zero-mark),class,visibility.
+
+    Returns {frame: {"tlwh" (N,4), "ids" (N,), "classes" (N,),
+    "zero_marked" (N,), "visibility" (N,)}}. Crowd rows (class 13) are
+    routed out at load time — TrackEval's crowd_ignore_filter {7: ['13']}
+    excludes them from gt_dets entirely, so they never participate in the
+    distractor matching either. Missing columns default to conf=1
+    (considered), class=pedestrian, visibility=1, matching TrackEval's
+    handling of short gt rows. Visibility is parsed and returned for
+    callers but — like TrackEval's MOT16 pipeline — not used as a filter.
+    """
+    per: Dict[int, list] = defaultdict(list)
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) < 6:
+                continue
+            vals = [float(v) for v in parts]
+            conf = vals[6] if len(vals) > 6 else 1.0
+            cls = int(vals[7]) if len(vals) > 7 else MOT_PEDESTRIAN
+            vis = vals[8] if len(vals) > 8 else 1.0
+            if cls == MOT_CROWD_CLASS:
+                continue  # crowd ignore region, excluded from gt dets
+            per[int(vals[0])].append((vals[2:6], int(vals[1]), cls, conf,
+                                      vis))
+    out: Dict[int, Dict[str, np.ndarray]] = {}
+    for fidx, rows in per.items():
+        out[fidx] = {
+            "tlwh": np.asarray([r[0] for r in rows], float).reshape(-1, 4),
+            "ids": np.asarray([r[1] for r in rows], int),
+            "classes": np.asarray([r[2] for r in rows], int),
+            "zero_marked": np.asarray([r[3] for r in rows], float),
+            "visibility": np.asarray([r[4] for r in rows], float),
+        }
+    return out
+
+
+def preprocess_mot(
+    gt_raw: Dict[int, Dict[str, np.ndarray]],
+    hyp_frames: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    distractor_removal: bool = True,
+) -> Tuple[Dict[int, Tuple[np.ndarray, np.ndarray]],
+           Dict[int, Tuple[np.ndarray, np.ndarray]]]:
+    """TrackEval MotChallenge2DBox.get_preprocessed_seq_data (pedestrian
+    class, DO_PREPROC, MOT16/17/20 benchmarks), per frame:
+
+      1. Hungarian-match tracker dets against ALL loaded gt rows (any class;
+         crowd already excluded at load) on IoU, with scores below
+         0.5 - eps zeroed and a match requiring score > eps; tracker dets
+         whose matched gt row is a DISTRACTOR class are removed.
+      2. gt kept for scoring = zero_marked != 0 AND class == pedestrian.
+
+    The 0.5 matching threshold is TrackEval's hard-coded preproc constant,
+    independent of the scoring threshold. Set `distractor_removal=False`
+    for MOT15-style gt (no class column ⇒ step 1 skipped, step 2 keeps
+    every non-zero-marked row — TrackEval's `benchmark == 'MOT15'` branch).
+
+    Returns (gt_frames, hyp_frames) in `evaluate_clear_identity` format.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    gt_out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    hyp_out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    frames = sorted(set(gt_raw) | set(hyp_frames))
+    empty = (np.zeros((0, 4), float), np.zeros(0, int))
+    for f in frames:
+        g = gt_raw.get(f)
+        h_boxes, h_ids = hyp_frames.get(f, empty)
+        h_boxes = np.asarray(h_boxes, float).reshape(-1, 4)
+        h_ids = np.asarray(h_ids, int)
+
+        if g is None:
+            gt_out[f] = empty
+            hyp_out[f] = (h_boxes, h_ids)
+            continue
+
+        to_remove = np.zeros(len(h_ids), bool)
+        if distractor_removal and len(g["ids"]) and len(h_ids):
+            iou = _iou_matrix(np.asarray(g["tlwh"], float), h_boxes)
+            matching = iou.copy()
+            matching[matching < 0.5 - _EPS] = 0.0
+            rows, cols = linear_sum_assignment(-matching)
+            ok = matching[rows, cols] > _EPS
+            rows, cols = rows[ok], cols[ok]
+            is_distractor = np.isin(g["classes"][rows],
+                                    MOT_DISTRACTOR_CLASSES)
+            to_remove[cols[is_distractor]] = True
+
+        hyp_out[f] = (h_boxes[~to_remove], h_ids[~to_remove])
+
+        keep = np.not_equal(g["zero_marked"], 0)
+        if distractor_removal:  # class column present (MOT16/17/20)
+            keep &= np.equal(g["classes"], MOT_PEDESTRIAN)
+        gt_out[f] = (np.asarray(g["tlwh"], float)[keep],
+                     np.asarray(g["ids"], int)[keep])
+    return gt_out, hyp_out
+
+
+def evaluate_mot16(gt_path: str, res_path: str, iou_thr: float = 0.5,
+                   preprocess: bool = True) -> Dict[str, float]:
+    """Score a MOT16 result file against a real 9-column gt.txt with
+    TrackEval-exact semantics: MotChallenge2DBox preprocessing (distractor-
+    matched tracker-det removal, zero-mark + pedestrian gt filter, crowd
+    exclusion) followed by CLEAR + Identity — the `run_mot_challenge.py
+    --METRICS CLEAR Identity` role of ref MOT16_eval/eval.sh:107-109."""
+    hyp = load_mot_frames(res_path)
+    if preprocess:
+        gt, hyp = preprocess_mot(load_mot_gt(gt_path), hyp)
+    else:
+        gt = load_mot_frames(gt_path)
+    return evaluate_clear_identity(gt, hyp, iou_thr=iou_thr)

@@ -2,19 +2,24 @@
 # MOT16 evaluation harness — role of ref `modification_tracking/MOT16_eval/eval.sh`.
 #
 # Runs the tracker over each MOT16 train sequence (N-way parallel like the
-# reference's job pool, ref eval.sh:72-95) and scores with TrackEval
-# (CLEAR + Identity metrics, ref eval.sh:107-109).
+# reference's job pool, ref eval.sh:72-95) and scores with CLEAR + Identity
+# (ref eval.sh:107-109). Scoring defaults to the NATIVE TrackEval-exact
+# evaluator (reid_tpu.tracking.metrics.evaluate_mot16: full 9-column gt
+# parse, MotChallenge2DBox preprocessing — distractor-matched det removal,
+# zero-mark + pedestrian filter, crowd exclusion — then CLEAR/Identity with
+# a TrackEval-style COMBINED row). Pass TRACKEVAL=<repo root> to score with
+# the external TrackEval instead.
 #
-# Usage: scripts/mot16_eval.sh <MOT16_ROOT> <TRACKEVAL_ROOT> [CKPT] [METHOD] [JOBS]
-# Zero-egress note: MOT16 + TrackEval must already be on disk (the reference
-# downloads them; we take paths).
+# Usage: scripts/mot16_eval.sh <MOT16_ROOT> [CKPT] [METHOD] [JOBS]
+# Zero-egress note: MOT16 must already be on disk (the reference downloads
+# it; we take a path).
 set -euo pipefail
 
 MOT16_ROOT=${1:?MOT16 root (contains train/MOT16-02 ...)}
-TRACKEVAL=${2:?TrackEval repo root}
-CKPT=${3:-}
-METHOD=${4:-strongsort}
-JOBS=${5:-2}
+CKPT=${2:-}
+METHOD=${3:-strongsort}
+JOBS=${4:-2}
+TRACKEVAL=${TRACKEVAL:-}
 
 OUT=${OUT:-mot16_results}
 mkdir -p "$OUT/data"
@@ -36,12 +41,36 @@ for seq in "${seqs[@]}"; do
 done
 wait
 
-# TrackEval scoring (ref eval.sh:107-109)
-python "$TRACKEVAL/scripts/run_mot_challenge.py" \
-  --BENCHMARK MOT16 \
-  --GT_FOLDER "$MOT16_ROOT/train" \
-  --TRACKERS_FOLDER "$OUT" \
-  --TRACKERS_TO_EVAL data \
-  --METRICS CLEAR Identity \
-  --USE_PARALLEL True \
-  --NUM_PARALLEL_CORES "$JOBS"
+if [ -n "$TRACKEVAL" ]; then
+  # external TrackEval scoring (ref eval.sh:107-109)
+  python "$TRACKEVAL/scripts/run_mot_challenge.py" \
+    --BENCHMARK MOT16 \
+    --GT_FOLDER "$MOT16_ROOT/train" \
+    --TRACKERS_FOLDER "$OUT" \
+    --TRACKERS_TO_EVAL data \
+    --METRICS CLEAR Identity \
+    --USE_PARALLEL True \
+    --NUM_PARALLEL_CORES "$JOBS"
+else
+  # native TrackEval-exact scoring
+  MOT16_ROOT="$MOT16_ROOT" OUT="$OUT" python - <<'EOF'
+import os
+
+from reid_tpu.tracking.metrics import combine_sequences, evaluate_mot16
+
+root, out = os.environ["MOT16_ROOT"], os.environ["OUT"]
+seqs = ["MOT16-02", "MOT16-04", "MOT16-05", "MOT16-09", "MOT16-10",
+        "MOT16-11", "MOT16-13"]
+cols = ["MOTA", "MOTP", "IDF1", "IDP", "IDR", "IDSW", "Frag", "FP", "FN"]
+per = {}
+for seq in seqs:
+    per[seq] = evaluate_mot16(
+        os.path.join(root, "train", seq, "gt", "gt.txt"),
+        os.path.join(out, "data", seq + ".txt"))
+per["COMBINED"] = combine_sequences(
+    {k: v for k, v in per.items() if k != "COMBINED"})
+print(f"{'seq':<10}" + "".join(f"{c:>9}" for c in cols))
+for seq, m in per.items():
+    print(f"{seq:<10}" + "".join(f"{m[c]:>9.3f}" for c in cols))
+EOF
+fi
