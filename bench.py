@@ -370,8 +370,259 @@ def bench_tracking_multistream(model, variables, n_streams=8, chunk=64,
     return s * chunk / best
 
 
-def bench_yolo_forward(batch=8, hw=(384, 640)):
-    """YOLOv5s forward+decode+NMS fps (bf16, batched frames in HBM)."""
+def _mot16_scene(rng, chunk, max_dets, n_real, hw):
+    """Synthetic TRUE-MOT16 operating point (VERDICT r3 #1): full-HD frames,
+    ~n_real dets/frame with MOT16-04-like box-size distribution (heights
+    60-260 px, aspect ~0.41), slow per-target motion. Ref conditions:
+    TRACKING_EVAL.md (1920x1080 sequences, 30-60 dets/frame on MOT16-04)."""
+    h, w = hw
+    frames = rng.integers(0, 255, (chunk, h, w, 3)).astype(np.uint8)
+    heights = np.exp(rng.uniform(np.log(60), np.log(260), n_real))
+    widths = heights * 0.41
+    x0 = rng.uniform(0, w - widths - 10, n_real)
+    y0 = rng.uniform(0, h - heights - 10, n_real)
+    vx = rng.normal(0, 3.0, n_real)
+    tlwh = np.zeros((chunk, max_dets, 4), np.float32)
+    for t in range(chunk):
+        for j in range(n_real):
+            tlwh[t, j] = (x0[j] + vx[j] * t, y0[j], widths[j], heights[j])
+    conf = np.full((chunk, max_dets), 0.9, np.float32)
+    valid = np.zeros((chunk, max_dets), bool)
+    valid[:, :n_real] = True
+    return (jax.device_put(frames), jax.device_put(tlwh),
+            jax.device_put(conf), jax.device_put(valid))
+
+
+def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
+                              n_real=50, max_tracks=128, hw=(1080, 1920),
+                              int8=False):
+    """End-to-end tracking fps at the reference's REAL MOT16 operating
+    point: 1920x1080 frames, 50 dets/frame in 64-det capacity, 128 track
+    slots, crop budget sized to the true load. The existing headline
+    (480x640, 16 dets) stays for continuity; this is the
+    reference-conditions number (ref track_yolov5.py:181-199 +
+    TRACKING_EVAL.md)."""
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.tracking.pipeline import make_chunked_tracker
+    from reid_tpu.tracking.tracker import init_tracker_state
+
+    cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets, n_init=2,
+                        crop_hw=(256, 128))
+    rng = np.random.default_rng(0)
+
+    if int8:
+        from reid_tpu.utils.quantize import quantize, quantized_apply
+        mean = np.asarray((0.485, 0.456, 0.406), np.float32)
+        std = np.asarray((0.229, 0.224, 0.225), np.float32)
+        calib = jnp.asarray(
+            (rng.random((64, 256, 128, 3), dtype=np.float32) - mean) / std)
+        qs = quantize(model, variables, [calib.astype(jnp.bfloat16)],
+                      train=False)
+
+        def fwd(params, batch_stats, crops):
+            return quantized_apply(
+                model, {"params": params, "batch_stats": batch_stats}, qs,
+                crops.astype(jnp.bfloat16), train=False)
+    else:
+        def fwd(params, batch_stats, crops):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                crops.astype(jnp.bfloat16), train=False)
+
+    def embed_fn(params, batch_stats, crops):
+        feat, logits = fwd(params, batch_stats, crops)
+        f = jnp.concatenate([feat.astype(jnp.float32),
+                             logits.astype(jnp.float32)], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
+                                     crop_budget=chunk * n_real)
+    frames, tlwh, conf, valid = _mot16_scene(rng, chunk, max_dets, n_real,
+                                             hw)
+    state = init_tracker_state(max_tracks, 512 + 751)
+    state, outs = run_chunk(variables["params"], variables["batch_stats"],
+                            state, frames, tlwh, conf, valid)
+    _sync(outs["tlwh"])  # compile
+    reps = 3
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, outs = run_chunk(variables["params"],
+                                    variables["batch_stats"], state,
+                                    frames, tlwh, conf, valid)
+        _sync(outs["tlwh"])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return chunk / best
+
+
+def bench_tracking_mot16_detector_in_loop(model, variables, chunk=16,
+                                          n_real=50, max_tracks=128,
+                                          hw=(1080, 1920)):
+    """Reference full-loop conditions: YOLOv5s at 640x640 letterbox on
+    1080p frames, 300-candidate NMS feeding 300 det slots (crop stage
+    bounded by frame_crop_cap=64), 128 track slots — the operating point of
+    ref track_yolov5.py:181-199 (imgsz 640, max_det 300) end-to-end in ONE
+    fused chunk program."""
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.models.yolo import build_yolo, decode_yolo, nms_fixed
+    from reid_tpu.tracking.pipeline import make_chunked_tracker
+    from reid_tpu.tracking.tracker import init_tracker_state
+
+    nms_cap = 300
+    cfg = TrackerConfig(max_tracks=max_tracks, max_dets=nms_cap, n_init=2,
+                        crop_hw=(256, 128), min_confidence=0.1)
+
+    def embed_fn(params, batch_stats, crops):
+        feat, logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops.astype(jnp.bfloat16), train=False)
+        f = jnp.concatenate([feat.astype(jnp.float32),
+                             logits.astype(jnp.float32)], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    det_model = build_yolo("yolov5s", num_classes=1, dtype=jnp.bfloat16)
+    dvars = jax.jit(lambda k, x: det_model.init(k, x, train=False))(
+        jax.random.PRNGKey(1), jnp.zeros((1, 640, 640, 3), jnp.bfloat16))
+    run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
+                                     crop_budget=chunk * 64,
+                                     frame_crop_cap=64)
+    h, w = hw
+
+    @jax.jit
+    def full(params, batch_stats, dp, dbs, state, frames):
+        # 640x640 letterbox: 1920x1080 -> 640x360 content, zero-pad below
+        x = frames.astype(jnp.bfloat16) / 255.0
+        x = jax.image.resize(x, (frames.shape[0], 360, 640, 3), "bilinear")
+        x = jnp.pad(x, ((0, 0), (140, 140), (0, 0), (0, 0)))
+        preds = det_model.apply({"params": dp, "batch_stats": dbs}, x,
+                                train=False)
+        xywh, scores, cls = decode_yolo(preds, num_classes=1)
+        boxes, sc, _, vmask = jax.vmap(
+            lambda b, s, c: nms_fixed(b, s, c, conf_thres=0.1,
+                                      max_dets=nms_cap))(xywh, scores, cls)
+        # back to frame coords: undo letterbox (scale 3, y offset 140)
+        tl = jnp.stack([
+            (boxes[..., 0] - boxes[..., 2] / 2) * 3.0,
+            (boxes[..., 1] - 140.0 - boxes[..., 3] / 2) * 3.0,
+            boxes[..., 2] * 3.0, boxes[..., 3] * 3.0], axis=-1)
+        return run_chunk(params, batch_stats, state, frames, tl,
+                         jnp.maximum(sc, 0.0), vmask)
+
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        rng.integers(0, 255, (chunk, h, w, 3)).astype(np.uint8))
+    state = init_tracker_state(max_tracks, 512 + 751)
+    state, outs = full(variables["params"], variables["batch_stats"],
+                       dvars["params"], dvars.get("batch_stats", {}),
+                       state, frames)
+    _sync(outs["tlwh"])  # compile
+    reps = 3
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, outs = full(variables["params"], variables["batch_stats"],
+                               dvars["params"], dvars.get("batch_stats", {}),
+                               state, frames)
+        _sync(outs["tlwh"])
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return chunk / best
+
+
+def bench_latency_per_frame(model, variables, max_dets=64, n_real=50,
+                            max_tracks=128, hw=(1080, 1920), k_frames=32,
+                            host_iters=100):
+    """Per-frame LATENCY at the MOT16 operating point (VERDICT r3 #4) —
+    the reference's 17 ms/frame is a latency figure (track_yolov5.py:342-344
+    per-image ms), so throughput alone is not parity.
+
+    Returns (device_ms, p50_ms, p99_ms):
+      * device_ms — ON-CHIP latency of the full per-frame program
+        (crop + embed + associate, no cross-frame batching), measured as a
+        lax.scan chain of k_frames DEPENDENT steps in one dispatch — free
+        of host dispatch overhead.
+      * p50/p99 — host-observed per-dispatch latency of the same jit
+        program. NOTE: through this session's axon relay each dispatch
+        carries ~30 ms tunnel RTT; on a production host (PCIe-attached
+        TPU) dispatch adds ~0.1-2 ms instead. The device_ms number is the
+        hardware truth; p50/p99 document the serving stack as-measured.
+    """
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.tracking.pipeline import crop_resize_bilinear
+    from reid_tpu.tracking.tracker import _update_impl, init_tracker_state
+
+    cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets, n_init=2,
+                        crop_hw=(256, 128))
+    ch, cw = cfg.crop_hw
+    mean = jnp.asarray((0.485, 0.456, 0.406))
+    std = jnp.asarray((0.229, 0.224, 0.225))
+
+    def embed_fn(params, batch_stats, crops):
+        feat, logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops.astype(jnp.bfloat16), train=False)
+        f = jnp.concatenate([feat.astype(jnp.float32),
+                             logits.astype(jnp.float32)], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    def frame_step(params, batch_stats, st, frame, boxes, c, v):
+        img = frame.astype(jnp.float32) / 255.0
+        crops = (crop_resize_bilinear(img, boxes, ch, cw) - mean) / std
+        f = embed_fn(params, batch_stats, crops)
+        return _update_impl(cfg, st, boxes, c, f, v)
+
+    rng = np.random.default_rng(0)
+    frames, tlwh, conf, valid = _mot16_scene(rng, k_frames, max_dets,
+                                             n_real, hw)
+    state = init_tracker_state(max_tracks, 512 + 751)
+
+    @jax.jit
+    def chain(params, batch_stats, st, fr, bx, cf, vl):
+        def body(s, inp):
+            f, b, c, v = inp
+            s, out = frame_step(params, batch_stats, s, f, b, c, v)
+            return s, out["ids"][0]
+        return jax.lax.scan(body, st, (fr, bx, cf, vl))
+
+    st, ids = chain(variables["params"], variables["batch_stats"], state,
+                    frames, tlwh, conf, valid)
+    _sync(ids)  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, ids = chain(variables["params"], variables["batch_stats"],
+                        state, frames, tlwh, conf, valid)
+        _sync(ids)
+        best = min(best, time.perf_counter() - t0)
+    device_ms = 1000.0 * best / k_frames
+
+    # host-dispatch distribution of the single-frame program
+    single = jax.jit(frame_step)
+    st1, out = single(variables["params"], variables["batch_stats"], state,
+                      frames[0], tlwh[0], conf[0], valid[0])
+    _sync(out["ids"])  # compile
+    times = []
+    for i in range(host_iters):
+        t0 = time.perf_counter()
+        st1, out = single(variables["params"], variables["batch_stats"],
+                          st1, frames[i % k_frames], tlwh[i % k_frames],
+                          conf[i % k_frames], valid[i % k_frames])
+        _sync(out["ids"])
+        times.append(1000.0 * (time.perf_counter() - t0))
+    return (device_ms, float(np.percentile(times, 50)),
+            float(np.percentile(times, 99)))
+
+
+def bench_yolo_forward(batch=8, hw=(384, 640), max_candidates=512,
+                       max_dets=64):
+    """YOLOv5s forward+decode+NMS fps (bf16, batched frames in HBM).
+
+    hw=(640,640) + max_dets=300 reproduces the reference's exact detector
+    operating point (ref track_yolov5.py:181-199: imgsz 640, max_det 300)."""
     from reid_tpu.models.yolo import build_yolo, decode_yolo, nms_fixed
 
     model = build_yolo("yolov5s", num_classes=1, dtype=jnp.bfloat16)
@@ -381,9 +632,10 @@ def bench_yolo_forward(batch=8, hw=(384, 640)):
     @jax.jit
     def detect(v, x):
         preds = model.apply(v, x, train=False)
-        xywh, scores, cls = decode_yolo(preds, num_classes=1)
+        xywh, scores, cls = decode_yolo(preds, num_classes=1,
+                                        max_candidates=max_candidates)
         out = jax.vmap(lambda b, s, c: nms_fixed(
-            b, s, c, conf_thres=0.1, max_dets=64))(xywh, scores, cls)
+            b, s, c, conf_thres=0.1, max_dets=max_dets))(xywh, scores, cls)
         return out[0]
 
     x = jax.device_put(jnp.asarray(
@@ -430,11 +682,30 @@ def main():
          lambda: bench_tracking_botsort_gmc(model, variables)),
         ("yolov5s_detect_fps_384x640",
          bench_yolo_forward),
+        # --- reference-conditions operating point (VERDICT r3 #1/#4):
+        # 1080p frames, 50 dets/frame, 128 track slots, YOLO@640/NMS300
+        ("mot_tracking_fps_mot16_load",
+         lambda: bench_tracking_mot16_load(model, variables)),
+        ("mot_tracking_fps_mot16_load_int8",
+         lambda: bench_tracking_mot16_load(model, variables, int8=True)),
+        ("mot_tracking_fps_mot16_load_detector_in_loop",
+         lambda: bench_tracking_mot16_detector_in_loop(model, variables)),
+        ("yolov5s_detect_fps_640x640_nms300",
+         lambda: bench_yolo_forward(hw=(640, 640), max_candidates=1024,
+                                    max_dets=300)),
     ):
         try:
             extra[key] = round(fn(), 1)
         except Exception as e:  # never lose the headline to an extra
             extra[key] = f"error: {type(e).__name__}"
+
+    try:
+        dev_ms, p50, p99 = bench_latency_per_frame(model, variables)
+        extra["mot_tracking_latency_ms_device"] = round(dev_ms, 3)
+        extra["mot_tracking_latency_ms_p50"] = round(p50, 2)
+        extra["mot_tracking_latency_ms_p99"] = round(p99, 2)
+    except Exception as e:
+        extra["mot_tracking_latency_ms_device"] = f"error: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "mot_tracking_fps_per_chip",

@@ -99,7 +99,8 @@ def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
 
 def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
                          chunk: int = 16, crop_budget: Optional[int] = None,
-                         use_gmc: Optional[bool] = None):
+                         use_gmc: Optional[bool] = None,
+                         frame_crop_cap: Optional[int] = None):
     """One jit program tracking a CHUNK of frames end-to-end on device.
 
     This is the throughput path (north star >=200 fps/chip): per chunk of T
@@ -116,6 +117,14 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
     budget are dropped from `valid` (the same graceful capping the
     reference's NMS max-det performs, track_yolov5.py:193-199). Budget
     b >= #valid crops is output-identical to the uncompacted path.
+
+    `frame_crop_cap` bounds the CROP stage the same way, per frame and
+    BEFORE the crop einsum: only the top-cap valid-by-confidence boxes of
+    each frame are cropped (the bilinear gather einsum and the (T*cap)
+    crops tensor scale with cap, not with the slot capacity D), so a
+    tracker fed from a 300-det NMS can run D=300 slots without paying the
+    crop cost of 300 crops/frame. Slots beyond the cap are dropped from
+    `valid`; cap >= per-frame #valid is output-identical.
     """
     import functools
 
@@ -137,25 +146,51 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
         # prev_frame (H, W, 3) anchors the chunk-boundary affine.
         t, d = tlwh.shape[:2]
         imgs = frames.astype(jnp.float32) / 255.0
+
+        cap = d if frame_crop_cap is None else min(frame_crop_cap, d)
+        if cap < d:
+            # pre-crop per-frame selection: only the top-cap valid boxes of
+            # each frame reach the crop einsum (slot capacity D can exceed
+            # the affordable crop count, e.g. 300-det NMS feeds)
+            score_f = jnp.where(valid, conf, -jnp.inf)
+            sel_f = jax.lax.top_k(score_f, cap)[1]          # (T, cap)
+            boxes_c = jnp.take_along_axis(tlwh, sel_f[..., None], axis=1)
+            conf_c = jnp.take_along_axis(conf, sel_f, axis=1)
+            valid_c = jnp.take_along_axis(valid, sel_f, axis=1)
+            kept_f = jnp.zeros((t, d), bool).at[
+                jnp.arange(t)[:, None], sel_f].set(True)
+            valid = valid & kept_f
+        else:
+            sel_f = jnp.broadcast_to(jnp.arange(d), (t, d))
+            boxes_c, conf_c, valid_c = tlwh, conf, valid
+
         crops = jax.vmap(
             lambda img, boxes: crop_resize_bilinear(img, boxes, ch, cw)
-        )(imgs, tlwh)                                      # (T, D, ch, cw, 3)
+        )(imgs, boxes_c)                                   # (T, cap, ...)
         crops = (crops - mean) / std
-        crops = crops.reshape(t * d, ch, cw, 3)
+        crops = crops.reshape(t * cap, ch, cw, 3)
+        # original slot id of each cropped row, for the feature scatter
+        flat_slots = (jnp.arange(t)[:, None] * d + sel_f).reshape(t * cap)
 
-        if crop_budget is not None and crop_budget < t * d:
+        if crop_budget is not None and crop_budget < t * cap:
             b = crop_budget
-            flat_valid = valid.reshape(t * d)
             # -inf sentinel: gt-style det files carry conf=-1, which must
             # still outrank every invalid slot in the top-k selection
-            score = jnp.where(flat_valid, conf.reshape(t * d), -jnp.inf)
-            sel = jax.lax.top_k(score, b)[1]               # (B,) slot ids
+            score = jnp.where(valid_c.reshape(t * cap),
+                              conf_c.reshape(t * cap), -jnp.inf)
+            sel = jax.lax.top_k(score, b)[1]               # (B,) crop rows
             feats_b = embed_fn(params, batch_stats, crops[sel])
             fdim = feats_b.shape[-1]
-            feats = jnp.zeros((t * d, fdim), feats_b.dtype).at[sel].set(
+            target = flat_slots[sel]                       # (B,) slot ids
+            feats = jnp.zeros((t * d, fdim), feats_b.dtype).at[target].set(
                 feats_b).reshape(t, d, -1)
-            kept = jnp.zeros((t * d,), bool).at[sel].set(True)
+            kept = jnp.zeros((t * d,), bool).at[target].set(True)
             valid = valid & kept.reshape(t, d)
+        elif cap < d:
+            feats_c = embed_fn(params, batch_stats, crops)  # (T*cap, F)
+            feats = jnp.zeros(
+                (t * d, feats_c.shape[-1]), feats_c.dtype).at[
+                flat_slots].set(feats_c).reshape(t, d, -1)
         else:
             feats = embed_fn(params, batch_stats, crops).reshape(t, d, -1)
 
@@ -238,19 +273,23 @@ class TrackingPipeline:
     def run_sequence(self, frames: np.ndarray, tlwh: np.ndarray,
                      conf: np.ndarray, valid: np.ndarray,
                      chunk: int = 16, first_frame: int = 1,
-                     crop_budget: Optional[int] = None):
+                     crop_budget: Optional[int] = None,
+                     frame_crop_cap: Optional[int] = None):
         """Chunked high-throughput path: track T frames with ceil(T/chunk)
         device dispatches. frames (T,H,W,3) uint8; tlwh (T,D,4);
         conf/valid (T,D). Outputs appended to self.results. `crop_budget`
-        caps the per-chunk embed batch (see make_chunked_tracker)."""
+        caps the per-chunk embed batch; `frame_crop_cap` caps the per-frame
+        CROP count before the crop einsum (see make_chunked_tracker)."""
         t_total = frames.shape[0]
         if (not hasattr(self, "_chunked") or self._chunk_size != chunk
-                or getattr(self, "_crop_budget", None) != crop_budget):
+                or getattr(self, "_crop_budget", None) != crop_budget
+                or getattr(self, "_frame_crop_cap", None) != frame_crop_cap):
             self._chunked = make_chunked_tracker(
                 self.cfg, self.crop_embed_raw, self.cfg.crop_hw, chunk,
-                crop_budget=crop_budget)
+                crop_budget=crop_budget, frame_crop_cap=frame_crop_cap)
             self._chunk_size = chunk
             self._crop_budget = crop_budget
+            self._frame_crop_cap = frame_crop_cap
         pending = []  # (start_frame, device outputs) for deferred fetch
         t0 = time.perf_counter()
         for s in range(0, t_total, chunk):

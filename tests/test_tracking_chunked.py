@@ -81,6 +81,57 @@ def test_pipeline_botsort_gmc_path():
     assert ids == [1, 2]
 
 
+def test_frame_crop_cap_identical_when_sufficient():
+    """cap >= per-frame #valid -> outputs identical to the uncapped path
+    (boxes, ids, features all bit-equal); a tight cap keeps only the
+    highest-confidence detections per frame."""
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        crop_hw=(32, 16))
+    frames, tlwh, conf, valid = _sequence()
+
+    ref = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    ref.run_sequence(frames, tlwh, conf, valid, chunk=4)
+
+    # 2 valid/frame; cap 3 > 2 -> identical even with 8 det slots
+    capped = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    capped.run_sequence(frames, tlwh, conf, valid, chunk=4,
+                        frame_crop_cap=3)
+    for a, b in zip(ref.results, capped.results):
+        np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                      np.asarray(b["valid"]))
+        np.testing.assert_array_equal(np.asarray(a["ids"]),
+                                      np.asarray(b["ids"]))
+        np.testing.assert_allclose(np.asarray(a["tlwh"]),
+                                   np.asarray(b["tlwh"]), atol=1e-5)
+
+    # cap 1 drops the lower-confidence target each frame
+    conf2 = conf.copy()
+    conf2[:, 1] = 0.2
+    tight = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    tight.run_sequence(frames, tlwh, conf2, valid, chunk=4,
+                       frame_crop_cap=1)
+    kept = [int(np.asarray(r["valid"]).sum()) for r in tight.results]
+    assert max(kept) <= 1
+
+
+def test_frame_crop_cap_composes_with_crop_budget():
+    """Both stages on at once (per-frame cap, then chunk-global embed
+    budget) still reproduce the reference outputs when neither binds."""
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        crop_hw=(32, 16))
+    frames, tlwh, conf, valid = _sequence()
+    ref = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    ref.run_sequence(frames, tlwh, conf, valid, chunk=4)
+    both = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    both.run_sequence(frames, tlwh, conf, valid, chunk=4,
+                      crop_budget=8, frame_crop_cap=4)
+    for a, b in zip(ref.results, both.results):
+        np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                      np.asarray(b["valid"]))
+        np.testing.assert_array_equal(np.asarray(a["ids"]),
+                                      np.asarray(b["ids"]))
+
+
 def test_crop_budget_identical_when_sufficient():
     """budget >= #valid crops -> outputs identical to the uncompacted path;
     overflow drops lowest-confidence detections only."""
