@@ -14,34 +14,13 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
 
-def build_scene(t_total=90, n_t=6, h=240, w=320, seed=0):
-    rng = np.random.default_rng(seed)
-    colors = rng.integers(150, 250, (n_t, 3))
-    starts = rng.uniform([0, 0], [w - 40, h - 70], (n_t, 2))
-    vels = rng.uniform(-2.5, 2.5, (n_t, 2))
-    frames = np.zeros((t_total, h, w, 3), np.uint8)
-    boxes = np.zeros((t_total, 8, 4), np.float32)
-    valid = np.zeros((t_total, 8), bool)
-    gt = {}
-    for t in range(t_total):
-        frame = rng.integers(0, 40, (h, w, 3)).astype(np.uint8)
-        bxs, ids = [], []
-        for i in range(n_t):
-            x = float(np.clip(starts[i, 0] + vels[i, 0] * t, 0, w - 24))
-            y = float(np.clip(starts[i, 1] + vels[i, 1] * t, 0, h - 56))
-            bw, bh = 20, 48
-            frame[int(y):int(y + bh), int(x):int(x + bw)] = colors[i]
-            boxes[t, i] = (x, y, bw, bh)
-            valid[t, i] = True
-            bxs.append((x, y, bw, bh))
-            ids.append(i)
-        frames[t] = frame
-        gt[t + 1] = (np.asarray(bxs, float), np.asarray(ids, int))
-    return frames, boxes, valid, gt
+# scene shared with the int8 quality experiment (examples/_scenes.py)
+from _scenes import build_detector_scene as build_scene
 
 
 def main():

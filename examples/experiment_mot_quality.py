@@ -11,6 +11,7 @@ Run: python examples/experiment_mot_quality.py [method ...]
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np, jax, jax.numpy as jnp
 from reid_tpu.models import build_model
 from reid_tpu.tracking.methods import method_config
@@ -20,41 +21,12 @@ from reid_tpu.tracking.metrics import evaluate_clear_identity
 T, N_T, MAX_DETS = 120, 10, 16
 H, W = 480, 640
 
-# ---- build the scene ONCE (shared across methods)
-rng = np.random.default_rng(0)
-colors = rng.integers(60, 250, (N_T, 3))
-starts = rng.uniform([0, 0], [W - 60, H - 120], (N_T, 2))
-vels = rng.uniform(-4, 4, (N_T, 2))
+# ---- build the scene ONCE (shared across methods AND with the int8
+# quality experiment — examples/_scenes.py keeps the pixels identical)
+from _scenes import build_mot_scene
 
-frames = np.zeros((T, H, W, 3), np.uint8)
-all_tlwh = np.zeros((T, MAX_DETS, 4), np.float32)
-all_conf = np.zeros((T, MAX_DETS), np.float32)
-all_valid = np.zeros((T, MAX_DETS), bool)
-gt = {}
-for t in range(T):
-    frame = rng.integers(0, 50, (H, W, 3)).astype(np.uint8)
-    boxes, ids = [], []
-    j = 0
-    for i in range(N_T):
-        x = float(np.clip(starts[i, 0] + vels[i, 0] * t, 0, W - 40))
-        y = float(np.clip(starts[i, 1] + vels[i, 1] * t, 0, H - 90))
-        w_, h_ = 32, 80
-        frame[int(y):int(y + h_), int(x):int(x + w_)] = colors[i]
-        boxes.append((x, y, w_, h_)); ids.append(i)
-        if rng.random() < 0.08:  # dropout
-            continue
-        all_tlwh[t, j] = (x + rng.normal(0, 2), y + rng.normal(0, 2),
-                          w_ + rng.normal(0, 1.5), h_ + rng.normal(0, 2))
-        all_conf[t, j] = 0.7 + 0.25 * rng.random()
-        all_valid[t, j] = True
-        j += 1
-    if rng.random() < 0.3 and j < MAX_DETS:  # false positive
-        all_tlwh[t, j] = (rng.uniform(0, W - 40), rng.uniform(0, H - 90),
-                          32, 80)
-        all_conf[t, j] = 0.6
-        all_valid[t, j] = True
-    frames[t] = frame
-    gt[t + 1] = (np.asarray(boxes, float), np.asarray(ids, int))
+frames, all_tlwh, all_conf, all_valid, gt = build_mot_scene(
+    t_total=T, n_t=N_T, max_dets=MAX_DETS, h=H, w=W, seed=0)
 
 # ---- shared embedder
 model = build_model("seres18", num_classes=128, dtype=jnp.bfloat16)

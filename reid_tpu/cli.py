@@ -66,6 +66,7 @@ def _base_cfg(args):
         retrieval=RetrievalConfig(
             dbscan_eps=getattr(args, "eps", 0.55),
             rerank_sparse_s=getattr(args, "rerank_sparse_s", 0),
+            search_option=getattr(args, "search_option", "auto"),
         ),
     )
 
@@ -150,6 +151,11 @@ def inference_main(argv=None):
     p.add_argument("--rerank_sparse_s", type=int, default=0,
                    help="top-S approximate Jaccard min-sum (0 = exact; "
                         "big-gallery mode, ~2x at N=23k with S=256)")
+    p.add_argument("--search_option", default="auto",
+                   choices=["auto", "dense", "sparse", "ivf"],
+                   help="gallery-size search policy (the faiss "
+                        "search_option 0-3 role, ref faiss_utils.py:"
+                        "121-181): auto picks dense/top-S/IVF by N")
     p.add_argument("--eps", type=float, default=0.55)
     p.add_argument("--attributes_mat", default="")
     p.add_argument("--int8", action="store_true",

@@ -99,6 +99,10 @@ class RetrievalConfig:
     # mode: 2.1x at N=23k with S=256; exact when the k-reciprocal expansion
     # support fits in S (ops/rerank.py _minsum_topk).
     rerank_sparse_s: int = 0
+    # gallery-size search policy (ops/policy.py — the faiss search_option
+    # 0-3 role, ref faiss_utils.py:121-181): "auto" picks dense / top-S
+    # sparse / IVF by N; explicit "dense"/"sparse"/"ivf" override.
+    search_option: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

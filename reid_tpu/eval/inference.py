@@ -80,7 +80,8 @@ def run_inference(
     sparse_s = cfg.retrieval.rerank_sparse_s or None
     dists = np.asarray(jaccard_distance(
         jnp.asarray(merged), k1=cfg.retrieval.k1, k2=cfg.retrieval.k2,
-        mesh=mesh, sparse_s=sparse_s))
+        mesh=mesh, sparse_s=sparse_s,
+        search_option=cfg.retrieval.search_option))
 
     if attribute_dist is not None:
         dists = dists + attribute_dist

@@ -27,3 +27,4 @@ from .rerank import (
 from .dbscan import dbscan_precomputed
 from .kmeans import kmeans
 from .ivf import IVFIndex, build_ivf, ivf_topk
+from .policy import SearchPlan, choose_search

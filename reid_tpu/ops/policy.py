@@ -1,0 +1,76 @@
+"""Gallery-size search policy — the faiss `search_option` role, TPU-native.
+
+The reference picks its retrieval engine by an explicit CLI option
+(ref `reid/faiss_utils.py:121-181`: 0 GpuIndexFlatL2 brute force,
+1 IndexShards over GPUs, 2 CPU->GPU cloner, 3 GpuIndexIVFFlat for big
+galleries). Here the same decision is made automatically from the gallery
+size, with the measured v5e crossover points:
+
+  * n <= DENSE_MAX     dense Jaccard: the full (N, N) min-sum identity.
+                       The N^2 f32 sim matrix is the limit — 23k rows was
+                       7.5 s / ~2.1 GB; 60k is the practical single-chip
+                       ceiling (~14 GB transient).
+  * n <= SPARSE_MAX    top-S sparse min-sum (S=512): exact when the
+                       k-reciprocal support fits S (runtime-guarded
+                       fallback), 2.1-2.4x at N=23k, and the memory is
+                       O(N*S) instead of O(N^2).
+  * n  > SPARSE_MAX    IVF initial ranking (ops/ivf.py, the IVFFlat role)
+                       + top-S sparse min-sum: the O(N^2 D) self-kNN is the
+                       new wall at 100k+, IVF cuts it by ~nlist/nprobe.
+
+The multi-chip sharded path keeps dense rows (each chip holds N/devices
+rows) so its dense ceiling scales with the mesh; sparse kicks in at
+SPARSE_MAX * n_devices.
+
+Measured numbers that set the defaults are recorded in ROUND_NOTES.md
+("Large-gallery scaling", round 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+DENSE_MAX = 15_000      # beyond this the top-S sparse path wins (measured)
+SPARSE_MAX = 60_000     # beyond this brute-force self-kNN dominates -> IVF
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchPlan:
+    strategy: str              # "dense" | "sparse" | "ivf"
+    sparse_s: Optional[int]    # top-S width (None = dense min-sum)
+    nlist: int = 0             # IVF lists (0 = no IVF)
+    nprobe: int = 0
+
+
+def choose_search(n: int, option: str = "auto", sparse_s: int = 0,
+                  n_devices: int = 1) -> SearchPlan:
+    """Resolve a search plan for an n-row gallery.
+
+    `option`: "auto" (size-based, the search_option role), or an explicit
+    "dense" / "sparse" / "ivf" override. `sparse_s` > 0 forces that top-S
+    width on any strategy (the RetrievalConfig.rerank_sparse_s escape
+    hatch). `n_devices` scales the dense/sparse ceilings for the sharded
+    path (rows are split across chips)."""
+    if option == "auto":
+        if n <= DENSE_MAX * max(n_devices, 1):
+            option = "dense"
+        elif n <= SPARSE_MAX * max(n_devices, 1):
+            option = "sparse"
+        else:
+            option = "ivf"
+    if option == "dense":
+        return SearchPlan("dense", sparse_s or None)
+    if option == "sparse":
+        return SearchPlan("sparse", sparse_s or 512)
+    if option == "ivf":
+        # nlist ~ 4*sqrt(n) (faiss guidance), nprobe = nlist/8: ~8x less
+        # candidate traffic at >=0.99 recall@k1 on clustered galleries
+        # (measured, ROUND_NOTES r4)
+        nlist = max(64, min(4096, 1 << int(math.log2(
+            4.0 * math.sqrt(max(n, 1)) + 1))))
+        return SearchPlan("ivf", sparse_s or 512, nlist=nlist,
+                          nprobe=max(8, nlist // 8))
+    raise ValueError(f"unknown search option: {option!r} "
+                     "(auto|dense|sparse|ivf)")

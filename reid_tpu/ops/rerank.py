@@ -312,13 +312,32 @@ def compute_jaccard_distance_sharded(
 
 
 def jaccard_distance(features: jnp.ndarray, k1: int = 20, k2: int = 6,
-                     mesh=None, sparse_s: Optional[int] = None) -> jnp.ndarray:
+                     mesh=None, sparse_s: Optional[int] = None,
+                     search_option: Optional[str] = None) -> jnp.ndarray:
     """Mesh-aware dispatcher: row-sharded Jaccard when a multi-device mesh is
     given, the single-device path otherwise. This is what the product
     inference/pseudo-label drivers call. `sparse_s` selects the top-S
     min-sum on either path (2.1x at N=23k, S=256; runtime exactness guard
-    with dense fallback on support overflow)."""
-    if mesh is not None and mesh.devices.size > 1:
+    with dense fallback on support overflow).
+
+    `search_option` enables the gallery-size policy (ops/policy.py, the
+    faiss search_option 0-3 role): "auto" picks dense / top-S sparse / IVF
+    by N; explicit "dense"/"sparse"/"ivf" override. None keeps the legacy
+    behavior (dense unless sparse_s given). The sharded path has no IVF
+    variant — "ivf" there degrades to sharded sparse (each chip already
+    holds only N/devices rows)."""
+    multi = mesh is not None and mesh.devices.size > 1
+    if search_option is not None:
+        from .policy import choose_search
+        plan = choose_search(int(features.shape[0]), search_option,
+                             sparse_s or 0,
+                             n_devices=mesh.devices.size if multi else 1)
+        sparse_s = plan.sparse_s
+        if plan.strategy == "ivf" and not multi:
+            return compute_jaccard_distance_ivf(
+                features, k1=k1, k2=k2, sparse_s=plan.sparse_s,
+                nlist=plan.nlist, nprobe=plan.nprobe)
+    if multi:
         return compute_jaccard_distance_sharded(mesh, features, k1=k1, k2=k2,
                                                 sparse_s=sparse_s)
     return compute_jaccard_distance(features, k1=k1, k2=k2,

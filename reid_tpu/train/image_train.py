@@ -206,15 +206,14 @@ def produce_pseudo_data(
         jnp.asarray(emb), jnp.asarray(target_dataset.cams),
         lambda_reg=cfg.retrieval.cam_bias_lambda,
         num_cams=int(target_dataset.cams.max()) + 1))
-    # big-gallery default: top-S sparse min-sum at N>15k (measured 2.1-2.4x
-    # at N=23k). Safe to default — compute_jaccard_distance carries a runtime
-    # support-overflow guard that falls back to the exact dense path.
-    multi = mesh is not None and mesh.devices.size > 1
-    sparse_s = cfg.retrieval.rerank_sparse_s or (
-        512 if len(emb) > 15000 and not multi else None)
+    # big-gallery policy (ops/policy.py, the faiss search_option role):
+    # dense <=15k, top-S sparse to 60k, IVF beyond — measured crossovers;
+    # compute_jaccard_distance carries a runtime support-overflow guard
+    # that falls back to the exact dense path.
     jac = np.asarray(jaccard_distance(
         jnp.asarray(emb), k1=cfg.retrieval.k1, k2=cfg.retrieval.k2,
-        mesh=mesh, sparse_s=sparse_s))
+        mesh=mesh, sparse_s=cfg.retrieval.rerank_sparse_s or None,
+        search_option=cfg.retrieval.search_option))
     labels = dbscan_precomputed(jac, eps=cfg.retrieval.dbscan_eps,
                                 min_samples=cfg.retrieval.dbscan_min_samples)
     num_clusters = int(labels.max()) + 1 if labels.max() >= 0 else 0

@@ -31,11 +31,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def synth_market(root: str, scale: float = 1.0, seed: int = 0):
+def synth_market(root: str, scale: float = 1.0, seed: int = 0,
+                 hard: bool = True):
     """Synthetic Market1501 tree with the real filename grammar
     ({pid:04d}_c{cam}s{seq}_{frame:06d}_{k:02d}.jpg, ref
     dataset_market.py:57 regex) and per-identity appearance structure
-    (clothing-block colors + texture) so training/retrieval is learnable."""
+    (clothing-block colors + texture) so training/retrieval is learnable.
+
+    `hard` (default, VERDICT r3 #6) injects identity TWINS so the rehearsal
+    has discriminative power instead of saturating at rank-1 0.99:
+      * 8% of ids are EXACT appearance clones of another id — an
+        irreducible ceiling (those queries resolve ~50/50), so a perfect
+        run cannot mask regressions by saturating;
+      * 15% are near-twins (small color/texture offsets) — separable only
+        with decent fine-grained features, the band where optimizer /
+        precision / quantization regressions actually move the metric;
+      * per-image brightness jitter (0.85-1.15x) raises intra-id variance.
+    Expected scratch 2-epoch landing (scale 1.0): rank-1 ~0.88-0.93 (pinned
+    in EVAL.md; `--check` enforces the range)."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -49,10 +62,28 @@ def synth_market(root: str, scale: float = 1.0, seed: int = 0):
         "query": ("query", n_ids, query_per_id),
     }
     # identity appearance: torso/leg colors + head tone + texture freq
-    torso = rng.integers(30, 250, (n_ids, 3))
-    legs = rng.integers(30, 250, (n_ids, 3))
-    head = rng.integers(120, 240, (n_ids, 3))
+    torso = rng.integers(30, 250, (n_ids, 3)).astype(np.float64)
+    legs = rng.integers(30, 250, (n_ids, 3)).astype(np.float64)
+    head = rng.integers(120, 240, (n_ids, 3)).astype(np.float64)
     freq = rng.uniform(0.05, 0.4, n_ids)
+
+    if hard and n_ids >= 8:
+        perm = rng.permutation(n_ids)
+        n_hard = max(int(0.08 * n_ids), 1)
+        n_sep = max(int(0.15 * n_ids), 1)
+        hard_ids = perm[:n_hard]
+        sep_ids = perm[n_hard:n_hard + n_sep]
+        base_pool = perm[n_hard + n_sep:]
+        for i in hard_ids:  # exact clones: irreducible ~50/50 queries
+            b = base_pool[rng.integers(len(base_pool))]
+            torso[i], legs[i] = torso[b], legs[b]
+            head[i], freq[i] = head[b], freq[b]
+        for i in sep_ids:   # near-twins: the discriminative band
+            b = base_pool[rng.integers(len(base_pool))]
+            torso[i] = np.clip(torso[b] + rng.integers(-12, 13, 3), 0, 255)
+            legs[i] = np.clip(legs[b] + rng.integers(-12, 13, 3), 0, 255)
+            head[i] = head[b]
+            freq[i] = np.clip(freq[b] + rng.uniform(-0.02, 0.02), 0.03, 0.45)
 
     def render(pid, cam, key):
         r = np.random.default_rng(key)
@@ -66,6 +97,8 @@ def synth_market(root: str, scale: float = 1.0, seed: int = 0):
         img[30:78, 12:52] += torso[pid] + tex[30:78]
         img[78:120, 16:48] += legs[pid]
         img += tint + r.normal(0, 12, img.shape)
+        if hard:  # lighting variation: intra-id variance up
+            img *= r.uniform(0.85, 1.15)
         # pose jitter: horizontal shift
         img = np.roll(img, int(r.integers(-6, 7)), axis=1)
         return np.clip(img, 0, 255).astype(np.uint8)
@@ -148,18 +181,34 @@ def main():
     p.add_argument("--skip_synth", action="store_true")
     p.add_argument("--skip_pretrained", action="store_true")
     p.add_argument("--skip_scratch", action="store_true")
+    p.add_argument("--easy", action="store_true",
+                   help="no identity twins / lighting jitter (the pre-r4 "
+                        "saturating dataset; hard is the default so the "
+                        "rehearsal works as a regression gate)")
+    p.add_argument("--int8", action="store_true",
+                   help="also evaluate the scratch checkpoint with the int8 "
+                        "PTQ embed and report the rank-1/mAP deltas "
+                        "(VERDICT r3 #3: int8 quality as metrics)")
+    p.add_argument("--check", action="store_true",
+                   help="fail if scratch rank-1 leaves the pinned expected "
+                        "range for the hard dataset (regression gate)")
+    p.add_argument("--expect", type=float, nargs=2, default=(0.86, 0.965),
+                   metavar=("LO", "HI"),
+                   help="expected scratch rank-1 range for --check "
+                        "(default pinned for --scale 1.0, hard mode)")
     p.add_argument("--eval_md", default="EVAL.md")
     args = p.parse_args()
 
     from reid_tpu.cli import inference_main, train_main
 
     results = {"scale": args.scale, "epochs": args.epochs,
+               "hard": not args.easy,
                "protocol": f"{args.height}x{args.width} b{args.bs}"}
 
     t0 = time.time()
     if not args.skip_synth or not os.path.isdir(
             os.path.join(args.root, "bounding_box_train")):
-        counts = synth_market(args.root, args.scale)
+        counts = synth_market(args.root, args.scale, hard=not args.easy)
         print(f"synth dataset: {counts} in {time.time()-t0:.0f}s")
         results["dataset"] = counts
     results["t_synth_s"] = round(time.time() - t0, 1)
@@ -194,6 +243,26 @@ def main():
         results["scratch_rank1"] = round(float(cmc[0]), 4)
         results["scratch_mAP"] = round(float(mAP), 4)
         print(f"scratch chain: rank1={cmc[0]:.4f} mAP={mAP:.4f}")
+
+        if args.int8:
+            # int8 PTQ quality AS METRICS on the trained scratch weights:
+            # same eval chain, embed quantized (eval/serving.py)
+            t0 = time.time()
+            cmc8, mAP8 = inference_main([
+                "--root", args.root, "--dataset", "market1501",
+                "--ckpt", scratch_ckpt, "--bs", str(args.bs),
+                "--height", str(args.height), "--width", str(args.width),
+                "--int8",
+            ])
+            results["t_eval_int8_s"] = round(time.time() - t0, 1)
+            results["int8_rank1"] = round(float(cmc8[0]), 4)
+            results["int8_mAP"] = round(float(mAP8), 4)
+            results["int8_rank1_delta"] = round(
+                float(cmc8[0]) - float(cmc[0]), 4)
+            results["int8_mAP_delta"] = round(float(mAP8) - float(mAP), 4)
+            print(f"int8 eval: rank1={cmc8[0]:.4f} mAP={mAP8:.4f} "
+                  f"(delta {results['int8_rank1_delta']:+.4f} / "
+                  f"{results['int8_mAP_delta']:+.4f})")
 
     # ---- (b) pretrained chain: torch state_dict -> convert -> fine-tune
     if not args.skip_pretrained:
@@ -243,6 +312,15 @@ def main():
         with open(args.eval_md, "a") as f:
             f.write(f"\n<!-- dress_rehearsal {time.strftime('%Y-%m-%d')} -->\n"
                     f"```json\n{json.dumps(results, indent=2)}\n```\n")
+    if args.check and "scratch_rank1" in results:
+        lo, hi = args.expect
+        r1 = results["scratch_rank1"]
+        if not (lo <= r1 <= hi):
+            raise SystemExit(
+                f"REGRESSION GATE: scratch rank-1 {r1:.4f} outside the "
+                f"pinned range [{lo}, {hi}] for the hard dataset — "
+                "training/eval quality moved")
+        print(f"check OK: rank-1 {r1:.4f} within [{lo}, {hi}]")
     return results
 
 

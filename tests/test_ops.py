@@ -234,6 +234,42 @@ def test_ivf_high_recall_on_clustered_gallery(rng):
     assert np.asarray(i_ivf).min() >= 0
 
 
+def test_search_policy_tiers():
+    """choose_search maps gallery size to dense/top-S/IVF like the
+    reference's search_option ladder (ref faiss_utils.py:121-181)."""
+    from reid_tpu.ops import choose_search
+
+    assert choose_search(5_000).strategy == "dense"
+    assert choose_search(5_000).sparse_s is None
+    mid = choose_search(30_000)
+    assert mid.strategy == "sparse" and mid.sparse_s == 512
+    big = choose_search(150_000)
+    assert big.strategy == "ivf" and big.nlist >= 1024 and big.nprobe >= 8
+    # sharded ceilings scale with the mesh
+    assert choose_search(30_000, n_devices=8).strategy == "dense"
+    # explicit override + sparse_s escape hatch
+    assert choose_search(1_000, option="ivf").strategy == "ivf"
+    assert choose_search(30_000, sparse_s=256).sparse_s == 256
+    with pytest.raises(ValueError):
+        choose_search(10, option="bogus")
+
+
+def test_jaccard_search_option_auto_matches_legacy(rng):
+    """search_option='auto' at small N resolves to the dense path — bit
+    identical to the legacy call; forced 'ivf' stays close (exact ranking
+    on an easy gallery)."""
+    from reid_tpu.ops import jaccard_distance
+
+    f = jnp.asarray(rng.normal(size=(120, 16)), jnp.float32)
+    legacy = np.asarray(jaccard_distance(f, k1=10, k2=4))
+    auto = np.asarray(jaccard_distance(f, k1=10, k2=4,
+                                       search_option="auto"))
+    np.testing.assert_array_equal(legacy, auto)
+    ivf = np.asarray(jaccard_distance(f, k1=10, k2=4, search_option="ivf"))
+    assert ivf.shape == legacy.shape
+    assert np.isfinite(ivf).all()
+
+
 def test_ivf_resplits_skewed_clusters(rng):
     """A gallery where k-means lumps ~80% of rows into one cluster must be
     re-split so the padded bucket tensor stays near n/nlist wide (ADVICE
