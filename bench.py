@@ -499,14 +499,15 @@ def bench_tracking_mot16_detector_in_loop(model, variables, chunk=16,
         x = jnp.pad(x, ((0, 0), (140, 140), (0, 0), (0, 0)))
         preds = det_model.apply({"params": dp, "batch_stats": dbs}, x,
                                 train=False)
-        xywh, scores, cls = decode_yolo(preds, num_classes=1)
-        boxes, sc, _, vmask = jax.vmap(
+        xywh, scores, cls = decode_yolo(preds, num_classes=1,
+                                        max_candidates=1024)
+        # nms_fixed returns TLWH in letterbox coords
+        boxes, sc, vmask = jax.vmap(
             lambda b, s, c: nms_fixed(b, s, c, conf_thres=0.1,
                                       max_dets=nms_cap))(xywh, scores, cls)
         # back to frame coords: undo letterbox (scale 3, y offset 140)
         tl = jnp.stack([
-            (boxes[..., 0] - boxes[..., 2] / 2) * 3.0,
-            (boxes[..., 1] - 140.0 - boxes[..., 3] / 2) * 3.0,
+            boxes[..., 0] * 3.0, (boxes[..., 1] - 140.0) * 3.0,
             boxes[..., 2] * 3.0, boxes[..., 3] * 3.0], axis=-1)
         return run_chunk(params, batch_stats, state, frames, tl,
                          jnp.maximum(sc, 0.0), vmask)

@@ -119,6 +119,47 @@ def greedy_assign(cost: jnp.ndarray, n_iters: int) -> jnp.ndarray:
     return r2c
 
 
+def greedy_assign_rounds(cost: jnp.ndarray, n_iters: int) -> jnp.ndarray:
+    """Greedy min-cost matching by MUTUAL-MINIMUM ROUNDS: each round accepts
+    every pair (i, j) that is simultaneously the argmin of row i and of
+    column j, then eliminates those rows/columns. Equivalent matching to the
+    sequential `greedy_assign` (ties aside): any pair the sequential loop
+    picks is mutual-min at its pick time, mutual-min pairs are disjoint and
+    survive unrelated eliminations, and the global min is always mutual —
+    so every round makes progress and the fixpoint is the same matching.
+
+    TPU rationale: the sequential loop is min(T,D)+1 SERIAL argmin steps
+    (the association scan's dominant cost at crowd density — ~51 iterations
+    at 50 dets); rounds resolve an expected constant fraction of remaining
+    pairs each time, so the while_loop trip count drops to ~log-ish (~6-10
+    at 50 dets) with each round only ~2 argmins + a mask."""
+    t, d = cost.shape
+
+    def cond(carry):
+        c, r2c, it, best = carry
+        return (it < n_iters) & (best < INF_COST)
+
+    def body(carry):
+        c, r2c, it, _ = carry
+        row_best = jnp.argmin(c, axis=1)                    # (T,)
+        col_best = jnp.argmin(c, axis=0)                    # (D,)
+        row_min = jnp.min(c, axis=1)
+        mutual = ((col_best[row_best] == jnp.arange(t))
+                  & (row_min < INF_COST))
+        r2c = jnp.where(mutual, row_best.astype(jnp.int32), r2c)
+        col_hit = jnp.zeros((d,), bool).at[
+            jnp.where(mutual, row_best, d)].set(True, mode="drop")
+        c = jnp.where(mutual[:, None] | col_hit[None, :], INF_COST, c)
+        return c, r2c, it + 1, jnp.min(c)
+
+    c0 = cost.astype(jnp.float32)
+    _, r2c, _, _ = jax.lax.while_loop(
+        cond, body,
+        (c0, -jnp.ones((t,), jnp.int32), jnp.zeros((), jnp.int32),
+         jnp.min(c0)))
+    return r2c
+
+
 def gated_matches(
     cost: jnp.ndarray,            # (T, D) with INF_COST at invalid pairs
     row_valid: jnp.ndarray,       # (T,) bool
@@ -139,6 +180,8 @@ def gated_matches(
     )
     if method == "greedy":
         r2c = greedy_assign(masked, n_iters=min(t, d))
+    elif method == "greedy_rounds":
+        r2c = greedy_assign_rounds(masked, n_iters=min(t, d))
     else:
         n = max(t, d)
         # Unique tie-breakers on forbidden/pad cells: identical INF costs

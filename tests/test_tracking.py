@@ -475,3 +475,32 @@ def test_nn_budget_gallery_ring_and_min_distance():
     # min-over-gallery therefore beats the EMA for a det matching the latest
     # raw appearance
     assert gal_dists.min() < ema_dist
+
+
+def test_greedy_rounds_equals_sequential(rng):
+    """Mutual-min rounds produce the SAME matching as the sequential greedy
+    loop on tie-free matrices (200 random gated tracking-cost shapes), and
+    identical totals on tie-heavy integer costs."""
+    from reid_tpu.tracking.assignment import (INF_COST, greedy_assign,
+                                              greedy_assign_rounds)
+
+    for trial in range(200):
+        t = int(rng.integers(2, 24))
+        d = int(rng.integers(2, 24))
+        c = rng.uniform(0, 2, (t, d)).astype(np.float32)
+        c[rng.random((t, d)) < 0.4] = INF_COST  # gating pattern
+        a = np.asarray(greedy_assign(jnp.asarray(c), min(t, d)))
+        b = np.asarray(greedy_assign_rounds(jnp.asarray(c), min(t, d)))
+        assert (a == b).all(), (trial, c, a, b)
+
+    # tie-heavy: matchings may legitimately differ on exact ties, but the
+    # match count and total cost must agree (both are greedy orders)
+    for trial in range(50):
+        t = d = 8
+        c = rng.integers(0, 3, (t, d)).astype(np.float32)
+        a = np.asarray(greedy_assign(jnp.asarray(c), 8))
+        b = np.asarray(greedy_assign_rounds(jnp.asarray(c), 8))
+        assert (a >= 0).sum() == (b >= 0).sum()
+        ca = sum(c[i, j] for i, j in enumerate(a) if j >= 0)
+        cb = sum(c[i, j] for i, j in enumerate(b) if j >= 0)
+        assert ca == cb, (trial, ca, cb)
