@@ -69,24 +69,26 @@ def make_embed_fn(state, tta_flip: bool = True, qstate=None) -> Callable:
 def export_reid_artifact(state, path: str, height: int, width: int,
                          tta_flip: bool = True,
                          dynamic_batch: bool = True,
-                         int8_calib=None) -> bytes:
+                         int8_calib=None, qstate=None) -> bytes:
     """Serialize the full serving step (ref to_onnx, train_prepare.py:14-47).
 
     `int8_calib`: optional calibration images ([0,255], (N,H,W,3)) — when
     given, the artifact is exported with the backbone post-training
     quantized to int8 (utils/quantize.py; weights ship 4x smaller and the
-    v5e serves it ~1.2x faster at >=0.9999 feature cosine)."""
-    qstate = None
-    if int8_calib is not None:
-        qstate = _calibrate_serving_qstate(state, int8_calib,
-                                           tta_flip=tta_flip)
+    v5e serves it ~1.2x faster at >=0.9999 feature cosine). A precomputed
+    `qstate` (utils/quantize.QuantState) skips recalibration — calibrate
+    once, then serve in-process (`make_int8_embed_fn`) AND export from the
+    same scales."""
+    if qstate is None and int8_calib is not None:
+        qstate = calibrate_serving_qstate(state, int8_calib,
+                                          tta_flip=tta_flip)
     embed = make_embed_fn(state, tta_flip=tta_flip, qstate=qstate)
     example = (jnp.zeros((2, height, width, 3), jnp.float32),)
     return export_serving_fn(embed, example, path,
                              dynamic_batch=dynamic_batch)
 
 
-def _calibrate_serving_qstate(state, calib_images, tta_flip: bool = True):
+def calibrate_serving_qstate(state, calib_images, tta_flip: bool = True):
     """Calibrate + quantize through the exact tensors the serving step feeds
     the model: `inference_batch` normalization, and (with TTA) the
     concatenated [normal ; flipped] batch — one jit'd sow pass, not an eager
@@ -103,16 +105,22 @@ def _calibrate_serving_qstate(state, calib_images, tta_flip: bool = True):
     return quantize_weights(None, {"params": state.params}, absmax)
 
 
-def make_int8_embed_fn(state, calib_images, tta_flip: bool = True) -> Callable:
+def make_int8_embed_fn(state, calib_images=None, tta_flip: bool = True,
+                       qstate=None) -> Callable:
     """Jitted int8-quantized serving embed (utils/quantize.py PTQ): calibrate
     the full serving step (normalization + TTA) on `calib_images` ([0,255],
     (N,H,W,3)), then return fn(images) -> embeddings with the backbone's
     Conv/Dense layers in int8. ~1.2x embed throughput on the v5e at >=0.9999
     feature cosine vs the f32 path — the eval-extraction analog of
-    `track.py --int8`."""
+    `track.py --int8`. A precomputed `qstate` skips recalibration (shared
+    scales with `export_reid_artifact`)."""
     import jax
 
-    qstate = _calibrate_serving_qstate(state, calib_images, tta_flip=tta_flip)
+    if qstate is None:
+        if calib_images is None:
+            raise ValueError("need calib_images or a precomputed qstate")
+        qstate = calibrate_serving_qstate(state, calib_images,
+                                          tta_flip=tta_flip)
     return jax.jit(make_embed_fn(state, tta_flip=tta_flip, qstate=qstate))
 
 
@@ -130,6 +138,7 @@ def extract_embeddings_artifact(embed: Callable, dataset: ReIDDataset,
 __all__ = [
     "make_embed_fn",
     "make_int8_embed_fn",
+    "calibrate_serving_qstate",
     "export_reid_artifact",
     "extract_embeddings_artifact",
     "load_serving_fn",

@@ -278,9 +278,11 @@ def test_lsro_cli_end_to_end(tmp_path, monkeypatch, rng):
     ("plr_osnet", (80, 40)),    # eval feature 2048+512=2560-d
     ("osnet", (80, 40)),
     ("vit", (128, 64)),         # 384-d
-    ("swin_v1", (448, 224)),    # 96-d; window-7 grids need 32-divisible
+    ("swin_v1", (224, 224)),    # 96-d; window-7 grids need 32-divisible
                                 # dims with /4../32 stages all mult-of-7
-                                # (the production swin crop size)
+                                # (the smallest legal swin grid; the
+                                # production 448x224 crop is exercised in
+                                # test_models_transformers)
     ("agw", (80, 40)),          # 2048-d
 ])
 def test_track_cli_backbone_matrix(tmp_path, backbone, crop_hw):

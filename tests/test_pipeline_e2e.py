@@ -82,15 +82,55 @@ def test_train_loss_finite(trained):
     assert np.isfinite(losses).all()
 
 
-def test_retrieval_eval_paths(trained, cfg):
-    ds_raw, state, _ = trained
-    query = ReIDDataset(ds_raw.query, 4, 80, 40)
-    gallery = ReIDDataset(ds_raw.gallery, 4, 80, 40)
+@pytest.fixture(scope="module")
+def qg(trained):
+    ds_raw, _, _ = trained
+    return (ReIDDataset(ds_raw.query, 4, 80, 40),
+            ReIDDataset(ds_raw.gallery, 4, 80, 40))
+
+
+@pytest.fixture(scope="module")
+def f32_eval(trained, cfg, qg):
+    """Checkpoint-backed retrieval metrics, computed once and shared by the
+    plain / int8-parity / artifact-roundtrip tests (same query/gallery/cfg)."""
+    _, state, _ = trained
+    query, gallery = qg
     cmc, mAP = run_inference(state, query, gallery, cfg, rerank=False,
                              verbose=False)
-    assert 0.0 <= mAP <= 1.0 and cmc.shape[0] == 50
     cmc_rr, mAP_rr = run_inference(state, query, gallery, cfg, rerank=True,
                                    verbose=False)
+    return cmc, mAP, cmc_rr, mAP_rr
+
+
+@pytest.fixture(scope="module")
+def qstate8(trained, qg):
+    """One serving-step PTQ calibration shared by the in-process int8 embed
+    and the int8 artifact export (calibrate once, consume twice — the
+    qstate-passthrough API)."""
+    from reid_tpu.data.loader import make_eval_loader
+    from reid_tpu.eval.serving import calibrate_serving_qstate
+
+    _, state, _ = trained
+    _, gallery = qg
+    calib = next(iter(make_eval_loader(gallery, 8)))["images"]
+    return calibrate_serving_qstate(state, calib)
+
+
+@pytest.fixture(scope="module")
+def f32_artifact(trained, tmp_path_factory):
+    """The exported f32 StableHLO serving artifact, shared by the roundtrip
+    and int8-size-comparison tests."""
+    from reid_tpu.eval.serving import export_reid_artifact
+
+    _, state, _ = trained
+    path = str(tmp_path_factory.mktemp("art") / "reid.stablehlo")
+    export_reid_artifact(state, path, height=80, width=40)
+    return path
+
+
+def test_retrieval_eval_paths(f32_eval):
+    cmc, mAP, cmc_rr, mAP_rr = f32_eval
+    assert 0.0 <= mAP <= 1.0 and cmc.shape[0] == 50
     assert 0.0 <= mAP_rr <= 1.0
     # color-separable ids after 2 epochs: expect decent rank-1 on 4 queries
     assert cmc[0] >= 0.5
@@ -128,22 +168,17 @@ def test_extract_embeddings_shape(trained, cfg):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
 
 
-def test_artifact_serving_roundtrip(trained, cfg, tmp_path):
+def test_artifact_serving_roundtrip(trained, cfg, qg, f32_eval, f32_artifact):
     """Export the full serving step to StableHLO, reload it, and run the
     whole retrieval eval checkpoint-free (ref --onnx consumption,
     image_reid_inference.py:239). Embeddings and metrics must match the
     checkpoint-backed path."""
-    from reid_tpu.eval.serving import (export_reid_artifact,
-                                       extract_embeddings_artifact,
+    from reid_tpu.eval.serving import (extract_embeddings_artifact,
                                        load_serving_fn)
 
-    ds_raw, state, _ = trained
-    query = ReIDDataset(ds_raw.query, 4, 80, 40)
-    gallery = ReIDDataset(ds_raw.gallery, 4, 80, 40)
-
-    path = str(tmp_path / "reid.stablehlo")
-    export_reid_artifact(state, path, height=80, width=40)
-    embed = load_serving_fn(path)
+    _, state, _ = trained
+    query, gallery = qg
+    embed = load_serving_fn(f32_artifact)
 
     # artifact embeddings == in-process embeddings (dynamic batch: 4 and 12)
     emb_art = extract_embeddings_artifact(embed, query, batch_size=8)
@@ -152,32 +187,27 @@ def test_artifact_serving_roundtrip(trained, cfg, tmp_path):
 
     cmc_a, map_a = run_inference(None, query, gallery, cfg, rerank=True,
                                  verbose=False, embed_fn=embed)
-    cmc_c, map_c = run_inference(state, query, gallery, cfg, rerank=True,
-                                 verbose=False)
+    _, _, cmc_c, map_c = f32_eval
     np.testing.assert_allclose(map_a, map_c, atol=1e-5)
     np.testing.assert_allclose(cmc_a, cmc_c, atol=1e-5)
 
 
-def test_int8_inference_retrieval_parity(trained, cfg):
+def test_int8_inference_retrieval_parity(trained, cfg, qg, f32_eval, qstate8):
     """run_inference through the int8-quantized embed (make_int8_embed_fn):
     retrieval quality matches the f32 path on the tiny synthetic Market."""
-    from reid_tpu.data.loader import make_eval_loader
     from reid_tpu.eval.serving import make_int8_embed_fn
 
-    ds_raw, state, _ = trained
-    query = ReIDDataset(ds_raw.query, 4, 80, 40)
-    gallery = ReIDDataset(ds_raw.gallery, 4, 80, 40)
-    calib = next(iter(make_eval_loader(gallery, 8)))["images"]
-    embed8 = make_int8_embed_fn(state, calib)
+    _, state, _ = trained
+    query, gallery = qg
+    embed8 = make_int8_embed_fn(state, qstate=qstate8)
     cmc8, map8 = run_inference(None, query, gallery, cfg, rerank=False,
                                embed_fn=embed8, verbose=False)
-    cmc, map_ = run_inference(state, query, gallery, cfg, rerank=False,
-                              verbose=False)
+    cmc, map_, _, _ = f32_eval
     assert abs(map8 - map_) < 0.05, (map8, map_)
     assert abs(cmc8[0] - cmc[0]) < 0.26  # 1 flip tolerated on 4 queries
 
 
-def test_artifact_int8_export(trained, tmp_path):
+def test_artifact_int8_export(trained, tmp_path, qg, qstate8, f32_artifact):
     """int8-quantized StableHLO artifact (utils/quantize.py through
     export_reid_artifact): ships ~4x smaller weights and reproduces the f32
     serving embeddings to high cosine."""
@@ -185,21 +215,30 @@ def test_artifact_int8_export(trained, tmp_path):
                                        extract_embeddings_artifact,
                                        load_serving_fn)
 
-    ds_raw, state, _ = trained
-    query = ReIDDataset(ds_raw.query, 4, 80, 40)
-    rng = np.random.default_rng(0)
-    calib = rng.integers(0, 255, (8, 80, 40, 3)).astype(np.float32)
+    _, state, _ = trained
+    query, _ = qg
 
-    p32 = str(tmp_path / "reid_f32.stablehlo")
     p8 = str(tmp_path / "reid_int8.stablehlo")
-    export_reid_artifact(state, p32, height=80, width=40)
-    export_reid_artifact(state, p8, height=80, width=40, int8_calib=calib)
+    export_reid_artifact(state, p8, height=80, width=40, qstate=qstate8)
     import os
-    assert os.path.getsize(p8) < 0.45 * os.path.getsize(p32), (
-        os.path.getsize(p8), os.path.getsize(p32))
+    assert os.path.getsize(p8) < 0.45 * os.path.getsize(f32_artifact), (
+        os.path.getsize(p8), os.path.getsize(f32_artifact))
 
     emb8 = extract_embeddings_artifact(load_serving_fn(p8), query,
                                        batch_size=8)
     embf = extract_embeddings(state, query, batch_size=8)
     cos = np.sum(emb8 * embf, axis=1)  # both rows are L2-normalized
     assert cos.min() > 0.98, cos.min()
+
+    # the int8_calib entry path == the precomputed-qstate path: same
+    # calibration images -> functionally identical artifact (byte identity
+    # does not hold — jax.export emits a couple of nondeterministic
+    # trailing metadata bytes even for the same embed fn)
+    from reid_tpu.data.loader import make_eval_loader
+    _, gallery = qg
+    calib = next(iter(make_eval_loader(gallery, 8)))["images"]
+    pc = str(tmp_path / "reid_int8_calib.stablehlo")
+    export_reid_artifact(state, pc, height=80, width=40, int8_calib=calib)
+    embc = extract_embeddings_artifact(load_serving_fn(pc), query,
+                                       batch_size=8)
+    np.testing.assert_array_equal(embc, emb8)
