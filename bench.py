@@ -395,7 +395,7 @@ def _mot16_scene(rng, chunk, max_dets, n_real, hw):
 
 def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
                               n_real=50, max_tracks=128, hw=(1080, 1920),
-                              int8=False):
+                              int8=False, assignment="greedy"):
     """End-to-end tracking fps at the reference's REAL MOT16 operating
     point: 1920x1080 frames, 50 dets/frame in 64-det capacity, 128 track
     slots, crop budget sized to the true load. The existing headline
@@ -407,7 +407,7 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
     from reid_tpu.tracking.tracker import init_tracker_state
 
     cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets, n_init=2,
-                        crop_hw=(256, 128))
+                        crop_hw=(256, 128), assignment=assignment)
     rng = np.random.default_rng(0)
 
     if int8:
