@@ -214,6 +214,10 @@ def load_mot_frames(path: str) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
 MOT_PEDESTRIAN = 1
 MOT_DISTRACTOR_CLASSES = (2, 7, 8, 12)  # person_on_vehicle, static_person,
                                         # distractor, reflection
+# TrackEval adds non_mot_vehicle (6) to the distractor set for MOT20 only
+# (MotChallenge2DBox: `if benchmark == 'MOT20': distractor_class_names
+# .append('non_mot_vehicle')`).
+MOT20_DISTRACTOR_CLASSES = MOT_DISTRACTOR_CLASSES + (6,)
 MOT_CROWD_CLASS = 13
 
 
@@ -260,6 +264,7 @@ def preprocess_mot(
     gt_raw: Dict[int, Dict[str, np.ndarray]],
     hyp_frames: Dict[int, Tuple[np.ndarray, np.ndarray]],
     distractor_removal: bool = True,
+    benchmark: str = "MOT16",
 ) -> Tuple[Dict[int, Tuple[np.ndarray, np.ndarray]],
            Dict[int, Tuple[np.ndarray, np.ndarray]]]:
     """TrackEval MotChallenge2DBox.get_preprocessed_seq_data (pedestrian
@@ -275,6 +280,8 @@ def preprocess_mot(
     independent of the scoring threshold. Set `distractor_removal=False`
     for MOT15-style gt (no class column ⇒ step 1 skipped, step 2 keeps
     every non-zero-marked row — TrackEval's `benchmark == 'MOT15'` branch).
+    `benchmark="MOT20"` widens the distractor set with non_mot_vehicle
+    (class 6), matching TrackEval's MOT20 branch.
 
     Returns (gt_frames, hyp_frames) in `evaluate_clear_identity` format.
     """
@@ -303,8 +310,9 @@ def preprocess_mot(
             rows, cols = linear_sum_assignment(-matching)
             ok = matching[rows, cols] > _EPS
             rows, cols = rows[ok], cols[ok]
-            is_distractor = np.isin(g["classes"][rows],
-                                    MOT_DISTRACTOR_CLASSES)
+            distractors = (MOT20_DISTRACTOR_CLASSES if benchmark == "MOT20"
+                           else MOT_DISTRACTOR_CLASSES)
+            is_distractor = np.isin(g["classes"][rows], distractors)
             to_remove[cols[is_distractor]] = True
 
         hyp_out[f] = (h_boxes[~to_remove], h_ids[~to_remove])
@@ -318,7 +326,8 @@ def preprocess_mot(
 
 
 def evaluate_mot16(gt_path: str, res_path: str, iou_thr: float = 0.5,
-                   preprocess: bool = True) -> Dict[str, float]:
+                   preprocess: bool = True,
+                   benchmark: str = "MOT16") -> Dict[str, float]:
     """Score a MOT16 result file against a real 9-column gt.txt with
     TrackEval-exact semantics: MotChallenge2DBox preprocessing (distractor-
     matched tracker-det removal, zero-mark + pedestrian gt filter, crowd
@@ -326,7 +335,8 @@ def evaluate_mot16(gt_path: str, res_path: str, iou_thr: float = 0.5,
     --METRICS CLEAR Identity` role of ref MOT16_eval/eval.sh:107-109."""
     hyp = load_mot_frames(res_path)
     if preprocess:
-        gt, hyp = preprocess_mot(load_mot_gt(gt_path), hyp)
+        gt, hyp = preprocess_mot(load_mot_gt(gt_path), hyp,
+                                 benchmark=benchmark)
     else:
         gt = load_mot_frames(gt_path)
     return evaluate_clear_identity(gt, hyp, iou_thr=iou_thr)

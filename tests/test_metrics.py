@@ -439,6 +439,23 @@ def test_mot16_distractor_matched_det_removed(tmp_path):
     assert m_raw["FP"] == 1.0
 
 
+def test_mot20_non_mot_vehicle_distractor(tmp_path):
+    """non_mot_vehicle (class 6) joins the distractor set only under the
+    MOT20 benchmark (TrackEval MotChallenge2DBox MOT20 branch): a tracker
+    det on it is removed for MOT20 but counts as an FP for MOT16."""
+    from reid_tpu.tracking.metrics import evaluate_mot16
+
+    gt = tmp_path / "gt.txt"
+    res = tmp_path / "res.txt"
+    gt.write_text("1,1,10,10,20,40,1,1,1\n1,2,200,10,20,40,1,6,1\n")
+    res.write_text("1,5,10,10,20,40,0.9,-1,-1,-1\n"
+                   "1,6,200,10,20,40,0.9,-1,-1,-1\n")
+    m20 = evaluate_mot16(str(gt), str(res), benchmark="MOT20")
+    assert m20["FP"] == 0 and m20["TP"] == 1 and m20["MOTA"] == 100.0
+    m16 = evaluate_mot16(str(gt), str(res))
+    assert m16["FP"] == 1 and m16["TP"] == 1
+
+
 def test_mot16_zero_marked_gt_dropped(tmp_path):
     """zero-marked (consider=0) pedestrian gt is dropped: missing it is not
     FN, but tracking it IS an FP (TrackEval semantics — the det matches no
