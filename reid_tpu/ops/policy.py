@@ -12,8 +12,10 @@ size, with the measured v5e crossover points:
                        ceiling (~14 GB transient).
   * n <= SPARSE_MAX    top-S sparse min-sum (S=512): exact when the
                        k-reciprocal support fits S (runtime-guarded
-                       fallback), 2.1-2.4x at N=23k, and the memory is
-                       O(N*S) instead of O(N^2).
+                       fallback), 2.1-2.4x at N=23k. Min-sum HBM traffic
+                       drops to O(N^2*S/K); the V encoding itself stays a
+                       dense (N, N) matrix, which (with the J output) is
+                       what caps the single-chip full re-rank.
   * n  > SPARSE_MAX    IVF initial ranking (ops/ivf.py, the IVFFlat role)
                        + top-S sparse min-sum: the O(N^2 D) self-kNN is the
                        new wall at 100k+, IVF cuts it by ~nlist/nprobe.

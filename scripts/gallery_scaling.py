@@ -28,15 +28,24 @@ import numpy as np
 
 
 def synth_gallery(n, d=1280, n_clusters=None, seed=0):
-    """Clustered unit-norm gallery (ReID galleries are id-clustered; IVF
-    recall on uniform data is the wrong regime)."""
-    rng = np.random.default_rng(seed)
-    n_clusters = n_clusters or max(n // 64, 8)
-    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
-    idx = rng.integers(0, n_clusters, n)
-    g = centers[idx] * 4.0 + rng.normal(size=(n, d)).astype(np.float32)
-    g /= np.linalg.norm(g, axis=1, keepdims=True)
-    return g
+    """Clustered unit-norm gallery, synthesized ON DEVICE (ReID galleries
+    are id-clustered; IVF recall on uniform data is the wrong regime).
+    Device-side generation matters here: a 200k x 1280 f32 gallery is 1 GB,
+    which is minutes of H2D through the axon relay but milliseconds of
+    jax.random on chip."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        nc = n_clusters or max(n // 64, 8)
+        kc, ki, kn = jax.random.split(key, 3)
+        centers = jax.random.normal(kc, (nc, d), jnp.float32)
+        idx = jax.random.randint(ki, (n,), 0, nc)
+        g = centers[idx] * 4.0 + jax.random.normal(kn, (n, d), jnp.float32)
+        return g / jnp.linalg.norm(g, axis=1, keepdims=True)
+
+    return gen(jax.random.PRNGKey(seed))
 
 
 def main():
@@ -60,8 +69,7 @@ def main():
     k = 20
 
     for n in sizes:
-        g_np = synth_gallery(n)
-        g = jax.device_put(jnp.asarray(g_np))
+        g = synth_gallery(n)
         q = g[:4096]  # self-kNN regime: queries = gallery rows
 
         # brute force (blocked matmul path)
@@ -116,32 +124,41 @@ def main():
     if not args.quick:
         from reid_tpu.ops import (compute_jaccard_distance,
                                   compute_jaccard_distance_ivf)
-        n = 40_000
-        g_np = synth_gallery(n)
-        g = jax.device_put(jnp.asarray(g_np))
-        plan = choose_search(n)
-        t0 = time.perf_counter()
-        j_s = compute_jaccard_distance(g, k1=20, k2=6,
-                                       sparse_s=plan.sparse_s)
-        sync(j_s[:64])
-        t_sparse = time.perf_counter() - t0
-        del j_s
-        t0 = time.perf_counter()
-        j_ivf = compute_jaccard_distance_ivf(
-            g, k1=20, k2=6, sparse_s=plan.sparse_s,
-            nlist=512, nprobe=64)
-        sync(j_ivf[:64])
-        t_ivf = time.perf_counter() - t0
-        del j_ivf
-        out["jaccard_40k"] = {
-            "sparse_s": plan.sparse_s,
-            "bf_rank_s": round(t_sparse, 1),
-            "ivf_rank_s": round(t_ivf, 1),
-            "note": ("(N,N) jaccard output is 6.4 GB at 40k / 40 GB at "
-                     "100k: beyond ~50k the policy routes to IVF kNN "
-                     "retrieval, not a full re-rank matrix")}
-        print(f"jaccard 40k: bf-rank {t_sparse:.1f}s  "
-              f"ivf-rank {t_ivf:.1f}s", flush=True)
+        # largest feasible single-chip full re-rank: the pipeline holds a
+        # handful of (N, N) f32/bool live at once (V, the expansion
+        # matmuls, J), so try 40k and step down on RESOURCE_EXHAUSTED.
+        for n in (40_000, 30_000, 23_000):
+            g = synth_gallery(n)
+            plan = choose_search(n)
+            try:
+                t0 = time.perf_counter()
+                j_s = compute_jaccard_distance(g, k1=20, k2=6,
+                                               sparse_s=plan.sparse_s)
+                sync(j_s[:64])
+                t_sparse = time.perf_counter() - t0
+                del j_s
+                t0 = time.perf_counter()
+                j_ivf = compute_jaccard_distance_ivf(
+                    g, k1=20, k2=6, sparse_s=plan.sparse_s,
+                    nlist=512, nprobe=64)
+                sync(j_ivf[:64])
+                t_ivf = time.perf_counter() - t0
+                del j_ivf
+            except Exception as e:
+                print(f"jaccard {n}: {type(e).__name__} -> stepping down",
+                      flush=True)
+                del g
+                continue
+            out["jaccard_full_rerank"] = {
+                "n": n, "sparse_s": plan.sparse_s,
+                "bf_rank_s": round(t_sparse, 1),
+                "ivf_rank_s": round(t_ivf, 1),
+                "note": ("(N,N) jaccard output is 6.4 GB at 40k / 40 GB at "
+                         "100k: beyond ~50k the policy routes to IVF kNN "
+                         "retrieval, not a full re-rank matrix")}
+            print(f"jaccard {n}: bf-rank {t_sparse:.1f}s  "
+                  f"ivf-rank {t_ivf:.1f}s", flush=True)
+            break
 
     print(json.dumps(out))
     if args.notes:
