@@ -425,6 +425,11 @@ def track_main(argv=None):
                         "(MotChallenge2DBox preprocessing incl. distractor-"
                         "matched det removal + zero-mark/pedestrian gt "
                         "filter) after tracking")
+    p.add_argument("--benchmark", default="MOT16",
+                   choices=["MOT16", "MOT17", "MOT20"],
+                   help="gt scoring benchmark: MOT20 widens the distractor "
+                        "set with non_mot_vehicle (TrackEval's MOT20 "
+                        "branch); MOT16/MOT17 are identical")
     args = p.parse_args(argv)
     if not args.source and args.frames_dir:
         args.source = args.frames_dir
@@ -617,7 +622,8 @@ def track_main(argv=None):
         # preprocessing (distractor-matched det removal, zero-mark +
         # pedestrian filter, crowd exclusion) before CLEAR/Identity
         from .tracking.metrics import evaluate_mot16
-        m = evaluate_mot16(args.gt, args.save_txt)
+        m = evaluate_mot16(args.gt, args.save_txt,
+                           benchmark=args.benchmark)
         print("  ".join(f"{k}: {v:.2f}" for k, v in m.items()))
         return m
     return rows
