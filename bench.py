@@ -601,17 +601,24 @@ def bench_latency_per_frame(model, variables, max_dets=64, n_real=50,
         best = min(best, time.perf_counter() - t0)
     device_ms = 1000.0 * best / k_frames
 
-    # host-dispatch distribution of the single-frame program
+    # host-dispatch distribution of the single-frame program; pre-slice the
+    # per-frame device arrays OUTSIDE the timed loop (indexing a device
+    # array is itself a dispatch — one extra relay RTT per frame otherwise)
     single = jax.jit(frame_step)
+    per_frame = [jax.tree_util.tree_map(lambda a, i=i: a[i],
+                                        (frames, tlwh, conf, valid))
+                 for i in range(k_frames)]
+    jax.block_until_ready(per_frame)
+    f0, b0, c0, v0 = per_frame[0]
     st1, out = single(variables["params"], variables["batch_stats"], state,
-                      frames[0], tlwh[0], conf[0], valid[0])
+                      f0, b0, c0, v0)
     _sync(out["ids"])  # compile
     times = []
     for i in range(host_iters):
+        f, b, c, v = per_frame[i % k_frames]
         t0 = time.perf_counter()
         st1, out = single(variables["params"], variables["batch_stats"],
-                          st1, frames[i % k_frames], tlwh[i % k_frames],
-                          conf[i % k_frames], valid[i % k_frames])
+                          st1, f, b, c, v)
         _sync(out["ids"])
         times.append(1000.0 * (time.perf_counter() - t0))
     return (device_ms, float(np.percentile(times, 50)),
