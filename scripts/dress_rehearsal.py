@@ -197,7 +197,18 @@ def main():
                    help="expected scratch rank-1 range for --check "
                         "(default pinned for --scale 1.0, hard mode)")
     p.add_argument("--eval_md", default="EVAL.md")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. 'cpu' for a host-only "
+                        "plumbing smoke). The JAX_PLATFORMS env var is too "
+                        "late under this image: sitecustomize imports jax "
+                        "first, so the platform must be set via jax.config "
+                        "before any backend initializes (same trick as "
+                        "tests/conftest.py).")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from reid_tpu.cli import inference_main, train_main
 
