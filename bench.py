@@ -662,15 +662,40 @@ def bench_yolo_forward(batch=8, hw=(384, 640), max_candidates=512,
     return batch / best
 
 
+def _device_watchdog(timeout_s=1200.0):
+    """If the TPU backend never initializes (e.g. the axon relay is down),
+    PJRT init hangs in C and no Python exception ever fires. Emit a
+    diagnostic JSON line and exit instead of hanging the driver forever.
+    Cancelled the moment the first device op completes."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "mot_tracking_fps_per_chip", "value": 0.0,
+                "unit": "frames/s", "vs_baseline": 0.0,
+                "extra": {"error": f"device init exceeded {timeout_s:.0f}s "
+                                   "(TPU relay unreachable?)"}}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     from reid_tpu.models import build_model
 
+    watchdog = _device_watchdog()
     model = build_model("seres18", num_classes=751, num_cams=6,
                         dtype=jnp.bfloat16)
     variables = jax.jit(lambda k, xx: model.init(k, xx, train=True))(
         jax.random.PRNGKey(0), jnp.zeros((8, 256, 128, 3), jnp.bfloat16))
 
     crops_per_sec = bench_embed(model, variables)
+    watchdog.set()  # device is alive and compiling/executing normally
     fps = bench_tracking(model, variables)
     extra = {
         "reid_embed_crops_per_sec_per_chip": round(crops_per_sec, 1),
