@@ -32,7 +32,7 @@ import numpy as np
 
 
 def part_a_embed(methods=("strongsort", "deepocsort", "ocsort", "bytetrack",
-                          "botsort")):
+                          "botsort"), t_total=120):
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +43,7 @@ def part_a_embed(methods=("strongsort", "deepocsort", "ocsort", "bytetrack",
     from reid_tpu.tracking.pipeline import TrackingPipeline
     from reid_tpu.utils.quantize import quantize, quantized_apply
 
-    frames, tlwh, conf, valid, gt = build_mot_scene()
+    frames, tlwh, conf, valid, gt = build_mot_scene(t_total=t_total)
     t_total, max_dets = frames.shape[0], tlwh.shape[1]
 
     model = build_model("seres18", num_classes=128, dtype=jnp.bfloat16)
@@ -108,7 +108,7 @@ def part_a_embed(methods=("strongsort", "deepocsort", "ocsort", "bytetrack",
     return results
 
 
-def part_b_detector():
+def part_b_detector(epochs=30, n_eval=None):
     import jax
     import jax.numpy as jnp
 
@@ -127,7 +127,7 @@ def part_b_detector():
 
     model, variables, losses = train_detector(
         frames[:n_train], boxes[:n_train], valid[:n_train],
-        det_hw=det_hw, epochs=30, batch_size=8, lr=2e-3, base=16)
+        det_hw=det_hw, epochs=epochs, batch_size=8, lr=2e-3, base=16)
     print(f"  detector loss {losses[0]:.3f} -> {losses[-1]:.3f}")
 
     # PTQ the TRAINED detector, calibrated on training frames
@@ -148,6 +148,7 @@ def part_b_detector():
             else:
                 out = model.apply(v, img[None], train=False)
             tlwh, scores = decode_detections(out, max_dets=16)
+            tlwh, scores = tlwh[0], scores[0]      # drop the batch-1 axis
             sx = frame.shape[1] / dw
             sy = frame.shape[0] / dh
             tlwh = tlwh * jnp.asarray([sx, sy, sx, sy])
@@ -177,7 +178,8 @@ def part_b_detector():
                                 ev.get("batch_stats", {}),
                                 feat_dim=512 + 32)
         eval_gt = {}
-        for i, t in enumerate(range(n_train, frames.shape[0])):
+        stop = frames.shape[0] if n_eval is None else n_train + n_eval
+        for i, t in enumerate(range(n_train, stop)):
             tl, cf, vm = detect(frames[t])
             pipe.step(i + 1, frames[t], tl, cf, vm)
             eval_gt[i + 1] = gt[t + 1]
@@ -196,9 +198,35 @@ def part_b_detector():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser("experiment_int8_quality")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform ('cpu' = host plumbing smoke; "
+                        "env vars are too late under sitecustomize)")
+    p.add_argument("--quick", action="store_true",
+                   help="tiny plumbing smoke: 2 methods, 24 frames, "
+                        "3 detector epochs (quality numbers meaningless)")
+    p.add_argument("--part", choices=("a", "b", "ab"), default="ab",
+                   help="run only part A (int8 embed) or B (int8 detector)")
+    args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
     t0 = time.time()
-    print("Part A: int8 embed, 5 methods")
-    part_a_embed()
-    print("\nPart B: int8 trained detector in the loop")
-    part_b_detector()
+    if args.quick:
+        if "a" in args.part:
+            print("Part A (quick): int8 embed, 2 methods")
+            part_a_embed(methods=("strongsort", "bytetrack"), t_total=24)
+        if "b" in args.part:
+            print("\nPart B (quick): int8 trained detector in the loop")
+            part_b_detector(epochs=3, n_eval=6)
+    else:
+        if "a" in args.part:
+            print("Part A: int8 embed, 5 methods")
+            part_a_embed()
+        if "b" in args.part:
+            print("\nPart B: int8 trained detector in the loop")
+            part_b_detector()
     print(f"\nDONE in {time.time() - t0:.0f}s")
