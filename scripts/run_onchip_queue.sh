@@ -28,7 +28,14 @@ if [ "${1:-}" != "--no-wait" ]; then
     sleep 300
   done
 fi
-echo "[queue] TPU up at $(date -u +%H:%M:%SZ); starting queue"
+echo "[queue] TPU up at $(date -u +%H:%M:%SZ)"
+
+# 1-CPU host: never overlap a timed on-chip run with a pytest job
+while pgrep -f "pytest" >/dev/null 2>&1; do
+  echo "[queue] pytest running; waiting 60s before starting timed runs"
+  sleep 60
+done
+echo "[queue] starting queue at $(date -u +%H:%M:%SZ)"
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 tmo=$2; shift 2
