@@ -47,6 +47,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 run ab_assignment   2400 python scripts/ab_assignment.py
+run amdahl_mot16    3600 python scripts/amdahl_mot16.py
 run gallery_scaling 5400 python scripts/gallery_scaling.py
 run int8_quality    5400 python examples/experiment_int8_quality.py
 run dress_rehearsal 10800 python scripts/dress_rehearsal.py \
