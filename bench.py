@@ -395,7 +395,8 @@ def _mot16_scene(rng, chunk, max_dets, n_real, hw):
 
 def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
                               n_real=50, max_tracks=128, hw=(1080, 1920),
-                              int8=False, assignment="greedy"):
+                              int8=False, assignment="greedy",
+                              crop_hw=(256, 128)):
     """End-to-end tracking fps at the reference's REAL MOT16 operating
     point: 1920x1080 frames, 50 dets/frame in 64-det capacity, 128 track
     slots, crop budget sized to the true load. The existing headline
@@ -407,7 +408,7 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
     from reid_tpu.tracking.tracker import init_tracker_state
 
     cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets, n_init=2,
-                        crop_hw=(256, 128), assignment=assignment)
+                        crop_hw=crop_hw, assignment=assignment)
     rng = np.random.default_rng(0)
 
     if int8:
@@ -415,7 +416,7 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
         mean = np.asarray((0.485, 0.456, 0.406), np.float32)
         std = np.asarray((0.229, 0.224, 0.225), np.float32)
         calib = jnp.asarray(
-            (rng.random((64, 256, 128, 3), dtype=np.float32) - mean) / std)
+            (rng.random((64, *crop_hw, 3), dtype=np.float32) - mean) / std)
         qs = quantize(model, variables, [calib.astype(jnp.bfloat16)],
                       train=False)
 
@@ -721,6 +722,11 @@ def main():
          lambda: bench_tracking_mot16_load(model, variables)),
         ("mot_tracking_fps_mot16_load_int8",
          lambda: bench_tracking_mot16_load(model, variables, int8=True)),
+        # beyond-reference fast-crop mode (128x64 embed crops, ~4x fewer
+        # embed FLOPs; quality delta measured by experiment_crop_size.py)
+        ("mot_tracking_fps_mot16_load_fastcrop",
+         lambda: bench_tracking_mot16_load(model, variables,
+                                           crop_hw=(128, 64))),
         ("mot_tracking_fps_mot16_load_detector_in_loop",
          lambda: bench_tracking_mot16_detector_in_loop(model, variables)),
         ("yolov5s_detect_fps_640x640_nms300",
