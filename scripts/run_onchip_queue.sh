@@ -50,7 +50,9 @@ run ab_assignment   2400 python scripts/ab_assignment.py
 run amdahl_mot16    3600 python scripts/amdahl_mot16.py
 run gallery_scaling 5400 python scripts/gallery_scaling.py
 run int8_quality    5400 python examples/experiment_int8_quality.py
-run crop_size       3600 python examples/experiment_crop_size.py
+# crop_size quality ablation already measured in full on CPU (metrics are
+# platform-independent; EVAL.md "Fast-crop mode") — chip time goes to
+# perf-only runs instead
 run dress_rehearsal 10800 python scripts/dress_rehearsal.py \
     --root /tmp/market_synth_r4 --int8 --check
 run bench_full      3600 python bench.py
