@@ -30,9 +30,10 @@ if [ "${1:-}" != "--no-wait" ]; then
 fi
 echo "[queue] TPU up at $(date -u +%H:%M:%SZ)"
 
-# 1-CPU host: never overlap a timed on-chip run with a pytest job
-while pgrep -f "pytest" >/dev/null 2>&1; do
-  echo "[queue] pytest running; waiting 60s before starting timed runs"
+# 1-CPU host: never overlap a timed on-chip run with a pytest job or any
+# CPU experiment that wrapped itself in a /tmp/cpu_busy.* marker
+while pgrep -f "pytest" >/dev/null 2>&1 || ls /tmp/cpu_busy.* >/dev/null 2>&1; do
+  echo "[queue] host busy (pytest or cpu_busy marker); waiting 60s"
   sleep 60
 done
 echo "[queue] starting queue at $(date -u +%H:%M:%SZ)"
