@@ -395,7 +395,7 @@ def _mot16_scene(rng, chunk, max_dets, n_real, hw):
 
 def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
                               n_real=50, max_tracks=128, hw=(1080, 1920),
-                              int8=False, assignment="greedy",
+                              int8=False, assignment="greedy_rounds",
                               crop_hw=(256, 128)):
     """End-to-end tracking fps at the reference's REAL MOT16 operating
     point: 1920x1080 frames, 50 dets/frame in 64-det capacity, 128 track

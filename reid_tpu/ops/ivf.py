@@ -14,9 +14,18 @@ IVF structure in XLA-friendly form:
 
 Design notes (TPU): buckets are padded to the max cluster size so every
 shape is static; the per-block gather is the only non-matmul op and moves
-nprobe*B*D floats per query block — at nprobe/nlist = 1/8 that is ~8x less
-HBM traffic than brute force, which is the entire win. Exact when
-nprobe == nlist (every bucket probed; padding rows carry +inf distance).
+nprobe*B*D floats per query block (~8x less HBM traffic than brute force
+at nprobe/nlist = 1/8). Exact when nprobe == nlist (every bucket probed;
+padding rows carry +inf distance).
+
+MEASURED CAVEAT (v5e, 2026-08-18, ROUND_NOTES "Large-gallery scaling"):
+the traffic win does NOT translate to wall-clock on TPU — the bucket
+gather is lane-hostile and ivf_topk loses to the brute-force blocked
+matmul (`topk_neighbors`) by 5-8x at N=50k-100k (0.35-0.43 s vs
+0.056-0.068 s per 4096 queries, recall@1 1.0/recall@20 0.98 at nprobe=8),
+and the padded (C, B, D) bucket tensor OOMs HBM near N=200k under cluster
+skew. This module is kept for the faiss `search_option` 3 API role and
+host-memory-constrained serving; `ops/policy.py` never auto-selects it.
 """
 
 from __future__ import annotations
@@ -116,6 +125,11 @@ def ivf_topk(index: IVFIndex, query: jnp.ndarray, k: int,
     q, d = query.shape
     c, b, _ = index.buckets.shape
     nprobe = min(nprobe, c)
+    # bound the gathered candidate block (block_q, nprobe*B, D) f32 to
+    # ~1 GB — at nprobe=64, B=300, D=1280 the default block_q=256 would
+    # materialize ~25 GB and OOM HBM (all static ints at trace time)
+    per_query_bytes = 4 * nprobe * b * d
+    block_q = max(8, min(block_q, int(1e9 // max(per_query_bytes, 1))))
     qp = ((q + block_q - 1) // block_q) * block_q
     qpad = jnp.concatenate(
         [query, jnp.zeros((qp - q, d), query.dtype)], axis=0)

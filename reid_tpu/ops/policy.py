@@ -10,19 +10,26 @@ size, with the measured v5e crossover points:
                        The N^2 f32 sim matrix is the limit — 23k rows was
                        7.5 s / ~2.1 GB; 60k is the practical single-chip
                        ceiling (~14 GB transient).
-  * n <= SPARSE_MAX    top-S sparse min-sum (S=512): exact when the
+  * n  > DENSE_MAX     top-S sparse min-sum (S=512): exact when the
                        k-reciprocal support fits S (runtime-guarded
                        fallback), 2.1-2.4x at N=23k. Min-sum HBM traffic
                        drops to O(N^2*S/K); the V encoding itself stays a
                        dense (N, N) matrix, which (with the J output) is
                        what caps the single-chip full re-rank.
-  * n  > SPARSE_MAX    IVF initial ranking (ops/ivf.py, the IVFFlat role)
-                       + top-S sparse min-sum: the O(N^2 D) self-kNN is the
-                       new wall at 100k+, IVF cuts it by ~nlist/nprobe.
+
+The initial self-kNN stays BRUTE FORCE (blocked MXU matmul + top_k) at
+every gallery size: measured on the v5e (2026-08-18, clustered unit-norm
+galleries, D=1280, 4096-query blocks) brute force takes 0.056 s/4k at
+N=50k and 0.068 s/4k at N=100k while ivf_topk at nprobe=8 takes
+0.35-0.43 s/4k — the bucket gather is lane-hostile on TPU and loses to
+the MXU matmul by 5-8x, and the padded (C, B, D) bucket tensor itself
+OOMs HBM near N=200k under cluster skew. IVF (`ops/ivf.py`) therefore
+remains EXPLICIT OPT-IN ONLY (`option="ivf"`, the faiss search_option 3
+API role) and is never auto-selected.
 
 The multi-chip sharded path keeps dense rows (each chip holds N/devices
 rows) so its dense ceiling scales with the mesh; sparse kicks in at
-SPARSE_MAX * n_devices.
+DENSE_MAX * n_devices.
 
 Measured numbers that set the defaults are recorded in ROUND_NOTES.md
 ("Large-gallery scaling", round 4).
@@ -35,7 +42,10 @@ import math
 from typing import Optional
 
 DENSE_MAX = 15_000      # beyond this the top-S sparse path wins (measured)
-SPARSE_MAX = 60_000     # beyond this brute-force self-kNN dominates -> IVF
+SPARSE_MAX = 60_000     # retained for reference: practical single-chip
+                        # ceiling of the FULL (N, N) re-rank matrix; beyond
+                        # it the product operation is kNN retrieval (brute
+                        # force — measured faster than IVF at every N)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,12 +66,12 @@ def choose_search(n: int, option: str = "auto", sparse_s: int = 0,
     hatch). `n_devices` scales the dense/sparse ceilings for the sharded
     path (rows are split across chips)."""
     if option == "auto":
+        # measured v5e policy: dense -> sparse by size; never IVF (the
+        # brute-force MXU kNN beats ivf_topk at every N — module docstring)
         if n <= DENSE_MAX * max(n_devices, 1):
             option = "dense"
-        elif n <= SPARSE_MAX * max(n_devices, 1):
-            option = "sparse"
         else:
-            option = "ivf"
+            option = "sparse"
     if option == "dense":
         return SearchPlan("dense", sparse_s or None)
     if option == "sparse":

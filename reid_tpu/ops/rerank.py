@@ -321,11 +321,12 @@ def jaccard_distance(features: jnp.ndarray, k1: int = 20, k2: int = 6,
     with dense fallback on support overflow).
 
     `search_option` enables the gallery-size policy (ops/policy.py, the
-    faiss search_option 0-3 role): "auto" picks dense / top-S sparse / IVF
-    by N; explicit "dense"/"sparse"/"ivf" override. None keeps the legacy
-    behavior (dense unless sparse_s given). The sharded path has no IVF
-    variant — "ivf" there degrades to sharded sparse (each chip already
-    holds only N/devices rows)."""
+    faiss search_option 0-3 role): "auto" picks dense / top-S sparse by N
+    (never IVF — measured 5-8x slower than the brute-force MXU kNN on the
+    v5e, see ops/policy.py); explicit "dense"/"sparse"/"ivf" override. None
+    keeps the legacy behavior (dense unless sparse_s given). The sharded
+    path has no IVF variant — "ivf" there degrades to sharded sparse (each
+    chip already holds only N/devices rows)."""
     multi = mesh is not None and mesh.devices.size > 1
     if search_option is not None:
         from .policy import choose_search
