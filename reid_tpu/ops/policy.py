@@ -8,8 +8,7 @@ size, with the measured v5e crossover points:
 
   * n <= DENSE_MAX     dense Jaccard: the full (N, N) min-sum identity.
                        The N^2 f32 sim matrix is the limit — 23k rows was
-                       7.5 s / ~2.1 GB; 60k is the practical single-chip
-                       ceiling (~14 GB transient).
+                       7.5 s / ~2.1 GB.
   * n  > DENSE_MAX     top-S sparse min-sum (S=512): exact when the
                        k-reciprocal support fits S (runtime-guarded
                        fallback), 2.1-2.4x at N=23k. Min-sum HBM traffic
@@ -42,10 +41,14 @@ import math
 from typing import Optional
 
 DENSE_MAX = 15_000      # beyond this the top-S sparse path wins (measured)
-SPARSE_MAX = 60_000     # retained for reference: practical single-chip
-                        # ceiling of the FULL (N, N) re-rank matrix; beyond
-                        # it the product operation is kNN retrieval (brute
-                        # force — measured faster than IVF at every N)
+SPARSE_MAX = 23_000     # measured single-chip ceiling of the FULL (N, N)
+                        # re-rank matrix (v5e 16 GB: 23k ok, 30k OOMs even
+                        # in a fresh process); the sharded path scales it
+                        # ~linearly with mesh size. Beyond it the product
+                        # operation is kNN retrieval (brute force —
+                        # measured faster than IVF at every N). Informative
+                        # only: choose_search still returns "sparse" and
+                        # the caller sizes the output it can hold.
 
 
 @dataclasses.dataclass(frozen=True)

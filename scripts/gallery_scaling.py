@@ -59,13 +59,18 @@ def main():
     p.add_argument("--quick", action="store_true",
                    help="50k/100k only, fewer probe settings")
     p.add_argument("--notes", default="ROUND_NOTES.md")
+    p.add_argument("--jaccard-n", type=int, default=0,
+                   help="run ONLY the full-rerank boundary leg at this N "
+                        "(fresh process per N avoids OOM fragmentation)")
     args = p.parse_args()
 
     def sync(x):
         return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
 
     out = {"d": 1280, "k": 20, "rows": []}
-    sizes = [50_000, 100_000] if args.quick else [50_000, 100_000, 200_000]
+    sizes = ([] if args.jaccard_n
+             else [50_000, 100_000] if args.quick
+             else [50_000, 100_000, 200_000])
     k = 20
 
     for n in sizes:
@@ -140,7 +145,12 @@ def main():
         # largest feasible single-chip full re-rank: the pipeline holds a
         # handful of (N, N) f32/bool live at once (V, the expansion
         # matmuls, J), so try 40k and step down on RESOURCE_EXHAUSTED.
-        for n in (40_000, 30_000, 23_000):
+        # NOTE: a failed OOM attempt fragments HBM and can poison smaller
+        # retries in the SAME process (measured: 23k fails after a 40k+30k
+        # OOM even though it fits fresh) — for a clean boundary, run each N
+        # in its own process via --jaccard-n.
+        for n in ([args.jaccard_n] if args.jaccard_n
+                  else (40_000, 30_000, 23_000)):
             g = synth_gallery(n)
             plan = choose_search(n)
             try:
