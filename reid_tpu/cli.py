@@ -620,10 +620,11 @@ def track_main(argv=None):
     if args.gt:
         # TrackEval-exact scoring: full 9-column gt parse + MotChallenge2DBox
         # preprocessing (distractor-matched det removal, zero-mark +
-        # pedestrian filter, crowd exclusion) before CLEAR/Identity
+        # pedestrian filter, crowd exclusion) before CLEAR/Identity/HOTA
         from .tracking.metrics import evaluate_mot16
         m = evaluate_mot16(args.gt, args.save_txt,
                            benchmark=args.benchmark)
-        print("  ".join(f"{k}: {v:.2f}" for k, v in m.items()))
+        print("  ".join(f"{k}: {v:.2f}" for k, v in m.items()
+                        if not k.startswith("_")))
         return m
     return rows

@@ -25,7 +25,9 @@ from .assignment import auction_assign, hungarian_host
 from .tracker import TrackerState, Tracker, init_tracker_state
 from .metrics import (
     combine_sequences,
+    combine_sequences_hota,
     evaluate_clear_identity,
+    evaluate_hota,
     evaluate_mot16,
     load_mot_frames,
     load_mot_gt,

@@ -1,4 +1,5 @@
-"""Native CLEAR + Identity tracking metrics (MOTA/MOTP/IDSW/Frag, IDF1).
+"""Native CLEAR + Identity + HOTA tracking metrics (MOTA/MOTP/IDSW/Frag,
+IDF1, HOTA/DetA/AssA).
 
 The reference scores tracking through the external TrackEval repo
 (ref `MOT16_eval/eval.sh:107-109` --METRICS CLEAR Identity); this module
@@ -325,18 +326,198 @@ def preprocess_mot(
     return gt_out, hyp_out
 
 
+# ---------------------------------------------------------------------------
+# HOTA (Luiten et al., IJCV 2021) — TrackEval-exact semantics.
+#
+# BEYOND the reference: its eval.sh runs TrackEval with `--METRICS CLEAR
+# Identity` only, and TRACKING_EVAL.md:3 promises "HOTA will be applied
+# soon"; this delivers that natively.  Algorithm (TrackEval hota.py):
+#
+#   alphas = 0.05, 0.10, ..., 0.95 (19 IoU thresholds)
+#   pass 1: accumulate per-(gt id, hyp id) "potential match" mass
+#           sum_t iou / (row-sum + col-sum - iou)   (a per-det Jaccard
+#           share), and per-id detection counts; the global alignment
+#           score is potential / (count_g + count_h - potential).
+#   pass 2: per frame, ONE Hungarian assignment maximizing
+#           global_alignment[idg, idh] * iou (alpha-independent — the
+#           global score breaks ties toward consistent id pairings);
+#           per alpha, pairs with iou >= alpha are the TPs.
+#   AssA(alpha) = TP-weighted mean over matches of
+#           A(c) = TPA / (TPA + FNA + FPA)  where for a matched id pair c,
+#           TPA = times the pair was matched, and the denominator is
+#           count_g + count_h - TPA.
+#   DetA(alpha) = TP / (TP + FN + FP);  HOTA(alpha) = sqrt(DetA * AssA);
+#   headline HOTA = mean over the 19 alphas.
+# ---------------------------------------------------------------------------
+
+HOTA_ALPHAS = np.arange(0.05, 0.99, 0.05)
+
+
+def evaluate_hota(
+    gt_frames: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    hyp_frames: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    alphas: np.ndarray | None = None,
+) -> Dict[str, float]:
+    """gt_frames / hyp_frames: {frame: (tlwh (N,4), ids (N,))} — the same
+    (already preprocessed) format `evaluate_clear_identity` takes.
+
+    Returns headline scalars (HOTA/DetA/AssA/DetRe/DetPr/AssRe/AssPr/LocA/
+    OWTA = alpha-means x100, plus HOTA(0)/LocA(0)/HOTALocA(0) at the lowest
+    alpha) and the per-alpha counter arrays under "_hota" for TrackEval-style
+    cross-sequence pooling (`combine_sequences_hota`)."""
+    from scipy.optimize import linear_sum_assignment
+
+    alphas = HOTA_ALPHAS if alphas is None else np.asarray(alphas, float)
+    n_a = len(alphas)
+    frames = sorted(set(gt_frames) | set(hyp_frames))
+    empty = (np.zeros((0, 4), float), np.zeros(0, int))
+
+    # contiguous id relabel over the whole sequence
+    gids = sorted({int(i) for f in frames
+                   for i in np.asarray(gt_frames.get(f, empty)[1]).ravel()})
+    hids = sorted({int(i) for f in frames
+                   for i in np.asarray(hyp_frames.get(f, empty)[1]).ravel()})
+    gpos = {g: i for i, g in enumerate(gids)}
+    hpos = {h: j for j, h in enumerate(hids)}
+    n_g, n_h = len(gids), len(hids)
+
+    # pass 1: potential-match mass + per-id det counts
+    per_frame = []
+    potential = np.zeros((n_g, n_h))
+    gt_count = np.zeros((n_g, 1))
+    hyp_count = np.zeros((1, n_h))
+    for f in frames:
+        g_boxes, g_ids = gt_frames.get(f, empty)
+        h_boxes, h_ids = hyp_frames.get(f, empty)
+        gi = np.asarray([gpos[int(i)] for i in np.asarray(g_ids).ravel()], int)
+        hj = np.asarray([hpos[int(i)] for i in np.asarray(h_ids).ravel()], int)
+        iou = _iou_matrix(np.asarray(g_boxes, float).reshape(-1, 4),
+                          np.asarray(h_boxes, float).reshape(-1, 4))
+        per_frame.append((gi, hj, iou))
+        if len(gi) and len(hj):
+            denom = iou.sum(0)[None, :] + iou.sum(1)[:, None] - iou
+            share = np.zeros_like(iou)
+            mask = denom > _EPS
+            share[mask] = iou[mask] / denom[mask]
+            potential[gi[:, None], hj[None, :]] += share
+        gt_count[gi, 0] += 1
+        hyp_count[0, hj] += 1
+
+    if n_g and n_h:
+        global_align = potential / np.maximum(
+            gt_count + hyp_count - potential, _EPS)
+    else:
+        global_align = np.zeros((n_g, n_h))
+
+    # pass 2: one Hungarian per frame, then per-alpha thresholding
+    tp = np.zeros(n_a)
+    fn = np.zeros(n_a)
+    fp = np.zeros(n_a)
+    loca_sum = np.zeros(n_a)
+    match_counts = np.zeros((n_a, n_g, n_h))
+    for gi, hj, iou in per_frame:
+        if len(gi) == 0:
+            fp += len(hj)
+            continue
+        if len(hj) == 0:
+            fn += len(gi)
+            continue
+        score = global_align[gi[:, None], hj[None, :]] * iou
+        rows, cols = linear_sum_assignment(-score)
+        sim = iou[rows, cols]
+        for a in range(n_a):
+            ok = sim + _EPS >= alphas[a]
+            n_match = int(ok.sum())
+            tp[a] += n_match
+            fn[a] += len(gi) - n_match
+            fp[a] += len(hj) - n_match
+            if n_match:
+                loca_sum[a] += float(sim[ok].sum())
+                match_counts[a][gi[rows[ok]], hj[cols[ok]]] += 1
+
+    ass_a = np.zeros(n_a)
+    ass_re = np.zeros(n_a)
+    ass_pr = np.zeros(n_a)
+    for a in range(n_a):
+        mc = match_counts[a]
+        union = np.maximum(1.0, gt_count + hyp_count - mc)
+        ass_a[a] = float((mc * (mc / union)).sum()) / max(1.0, tp[a])
+        ass_re[a] = float((mc * (mc / np.maximum(1.0, gt_count))).sum()) \
+            / max(1.0, tp[a])
+        ass_pr[a] = float((mc * (mc / np.maximum(1.0, hyp_count))).sum()) \
+            / max(1.0, tp[a])
+
+    return _hota_final_fields({
+        "alphas": alphas, "HOTA_TP": tp, "HOTA_FN": fn, "HOTA_FP": fp,
+        "LocA_sum": loca_sum, "AssA_alpha": ass_a, "AssRe_alpha": ass_re,
+        "AssPr_alpha": ass_pr,
+    })
+
+
+def _hota_final_fields(arrays: Dict[str, np.ndarray]) -> Dict[str, float]:
+    """Counters + per-alpha association arrays -> headline scalars (x100,
+    alpha-means), keeping the raw arrays under "_hota" for pooling."""
+    tp, fn, fp = (arrays[k] for k in ("HOTA_TP", "HOTA_FN", "HOTA_FP"))
+    loca = np.maximum(1e-10, arrays["LocA_sum"]) / np.maximum(1e-10, tp)
+    det_re = tp / np.maximum(1.0, tp + fn)
+    det_pr = tp / np.maximum(1.0, tp + fp)
+    det_a = tp / np.maximum(1.0, tp + fn + fp)
+    hota = np.sqrt(det_a * arrays["AssA_alpha"])
+    owta = np.sqrt(det_re * arrays["AssA_alpha"])
+    return {
+        "HOTA": 100.0 * float(hota.mean()),
+        "DetA": 100.0 * float(det_a.mean()),
+        "AssA": 100.0 * float(arrays["AssA_alpha"].mean()),
+        "DetRe": 100.0 * float(det_re.mean()),
+        "DetPr": 100.0 * float(det_pr.mean()),
+        "AssRe": 100.0 * float(arrays["AssRe_alpha"].mean()),
+        "AssPr": 100.0 * float(arrays["AssPr_alpha"].mean()),
+        "LocA": 100.0 * float(loca.mean()),
+        "OWTA": 100.0 * float(owta.mean()),
+        "HOTA(0)": 100.0 * float(hota[0]),
+        "LocA(0)": 100.0 * float(loca[0]),
+        "HOTALocA(0)": 100.0 * float(hota[0] * loca[0]),
+        "_hota": arrays,
+    }
+
+
+def combine_sequences_hota(per_seq: Dict[str, Dict[str, float]]
+                           ) -> Dict[str, float]:
+    """TrackEval hota.py combine_sequences: sum the per-alpha TP/FN/FP
+    counters, pool AssA/AssRe/AssPr and LocA as TP-weighted means, then
+    recompute the final fields — NOT an average of per-sequence HOTAs."""
+    arrs = [m["_hota"] for m in per_seq.values()]
+    tp = sum(a["HOTA_TP"] for a in arrs)
+    out = {
+        "alphas": arrs[0]["alphas"],
+        "HOTA_TP": tp,
+        "HOTA_FN": sum(a["HOTA_FN"] for a in arrs),
+        "HOTA_FP": sum(a["HOTA_FP"] for a in arrs),
+        "LocA_sum": sum(a["LocA_sum"] for a in arrs),
+    }
+    for key in ("AssA_alpha", "AssRe_alpha", "AssPr_alpha"):
+        out[key] = sum(a[key] * a["HOTA_TP"] for a in arrs) \
+            / np.maximum(1.0, tp)
+    return _hota_final_fields(out)
+
+
 def evaluate_mot16(gt_path: str, res_path: str, iou_thr: float = 0.5,
-                   preprocess: bool = True,
-                   benchmark: str = "MOT16") -> Dict[str, float]:
+                   preprocess: bool = True, benchmark: str = "MOT16",
+                   hota: bool = True) -> Dict[str, float]:
     """Score a MOT16 result file against a real 9-column gt.txt with
     TrackEval-exact semantics: MotChallenge2DBox preprocessing (distractor-
     matched tracker-det removal, zero-mark + pedestrian gt filter, crowd
     exclusion) followed by CLEAR + Identity — the `run_mot_challenge.py
-    --METRICS CLEAR Identity` role of ref MOT16_eval/eval.sh:107-109."""
+    --METRICS CLEAR Identity` role of ref MOT16_eval/eval.sh:107-109 — plus
+    native HOTA (beyond the reference's metric set; TRACKING_EVAL.md:3
+    promises it "soon")."""
     hyp = load_mot_frames(res_path)
     if preprocess:
         gt, hyp = preprocess_mot(load_mot_gt(gt_path), hyp,
                                  benchmark=benchmark)
     else:
         gt = load_mot_frames(gt_path)
-    return evaluate_clear_identity(gt, hyp, iou_thr=iou_thr)
+    out = evaluate_clear_identity(gt, hyp, iou_thr=iou_thr)
+    if hota:
+        out.update(evaluate_hota(gt, hyp))
+    return out

@@ -510,3 +510,166 @@ def test_identity_counts_feasible_pairs_not_clear_matches():
     m = evaluate_clear_identity(gt, hyp)
     # IDTP = 10 (gt1<->hyp5 co-occurs all 10 frames); num_hyp = 17
     assert m["IDF1"] == pytest.approx(100.0 * 2 * 10 / (10 + 17))
+
+
+# ---------------------------------------------------------------------------
+# HOTA: independent oracle transliterating TrackEval hota.py (dict-keyed
+# counts, per-alpha outer loop, looped score-matrix construction — shares no
+# structure with the vectorized native implementation).
+# ---------------------------------------------------------------------------
+
+def _oracle_hota(gt_frames, hyp_frames):
+    from scipy.optimize import linear_sum_assignment
+    eps = np.finfo(float).eps
+    alphas = [round(0.05 * i, 2) for i in range(1, 20)]
+    frames = sorted(set(gt_frames) | set(hyp_frames))
+    none = (np.zeros((0, 4)), np.zeros(0, int))
+
+    def iou_one(a, b):
+        ax2, ay2 = a[0] + a[2], a[1] + a[3]
+        bx2, by2 = b[0] + b[2], b[1] + b[3]
+        iw = min(ax2, bx2) - max(a[0], b[0])
+        ih = min(ay2, by2) - max(a[1], b[1])
+        if iw <= 0 or ih <= 0:
+            return 0.0
+        inter = iw * ih
+        return inter / max(a[2] * a[3] + b[2] * b[3] - inter, 1e-9)
+
+    gt_cnt, hyp_cnt, pot = {}, {}, {}
+    scene = []  # (g id list, h id list, iou np array)
+    for f in frames:
+        gb, gi = gt_frames.get(f, none)
+        hb, hi = hyp_frames.get(f, none)
+        g_ids = [int(v) for v in np.asarray(gi).ravel()]
+        h_ids = [int(v) for v in np.asarray(hi).ravel()]
+        iou = np.array([[iou_one(np.asarray(gb, float)[i],
+                                 np.asarray(hb, float)[j])
+                         for j in range(len(h_ids))]
+                        for i in range(len(g_ids))]).reshape(len(g_ids),
+                                                             len(h_ids))
+        scene.append((g_ids, h_ids, iou))
+        for g in g_ids:
+            gt_cnt[g] = gt_cnt.get(g, 0) + 1
+        for h in h_ids:
+            hyp_cnt[h] = hyp_cnt.get(h, 0) + 1
+        for i, g in enumerate(g_ids):
+            for j, h in enumerate(h_ids):
+                den = iou[i, :].sum() + iou[:, j].sum() - iou[i, j]
+                if den > eps:
+                    pot[(g, h)] = pot.get((g, h), 0.0) + iou[i, j] / den
+
+    def galign(g, h):
+        p = pot.get((g, h), 0.0)
+        return p / (gt_cnt[g] + hyp_cnt[h] - p)
+
+    per_alpha = []
+    for alpha in alphas:
+        tp = fn = fp = 0
+        loca = 0.0
+        mc = {}
+        for g_ids, h_ids, iou in scene:
+            if not g_ids:
+                fp += len(h_ids)
+                continue
+            if not h_ids:
+                fn += len(g_ids)
+                continue
+            score = np.array([[galign(g, h) * iou[i, j]
+                               for j, h in enumerate(h_ids)]
+                              for i, g in enumerate(g_ids)])
+            rows, cols = linear_sum_assignment(-score)
+            matched = 0
+            for r, c in zip(rows, cols):
+                if iou[r, c] + eps >= alpha:
+                    matched += 1
+                    loca += iou[r, c]
+                    key = (g_ids[r], h_ids[c])
+                    mc[key] = mc.get(key, 0) + 1
+            tp += matched
+            fn += len(g_ids) - matched
+            fp += len(h_ids) - matched
+        ass = ass_re = ass_pr = 0.0
+        for (g, h), c in mc.items():
+            ass += c * (c / max(1, gt_cnt[g] + hyp_cnt[h] - c))
+            ass_re += c * (c / max(1, gt_cnt[g]))
+            ass_pr += c * (c / max(1, hyp_cnt[h]))
+        ass, ass_re, ass_pr = (v / max(1, tp) for v in (ass, ass_re, ass_pr))
+        det_a = tp / max(1, tp + fn + fp)
+        det_re = tp / max(1, tp + fn)
+        det_pr = tp / max(1, tp + fp)
+        loca_v = max(1e-10, loca) / max(1e-10, tp)
+        per_alpha.append({
+            "HOTA": np.sqrt(det_a * ass), "DetA": det_a, "AssA": ass,
+            "DetRe": det_re, "DetPr": det_pr, "AssRe": ass_re,
+            "AssPr": ass_pr, "LocA": loca_v,
+            "OWTA": np.sqrt(det_re * ass)})
+    out = {k: 100.0 * float(np.mean([d[k] for d in per_alpha]))
+           for k in per_alpha[0]}
+    out["HOTA(0)"] = 100.0 * per_alpha[0]["HOTA"]
+    out["LocA(0)"] = 100.0 * per_alpha[0]["LocA"]
+    out["HOTALocA(0)"] = 100.0 * per_alpha[0]["HOTA"] * per_alpha[0]["LocA"]
+    return out
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_hota_matches_trackeval_oracle(seed):
+    from reid_tpu.tracking.metrics import evaluate_hota
+    rng = np.random.default_rng(seed)
+    gt, hyp = _random_scene(rng)
+    native = evaluate_hota(gt, hyp)
+    oracle = _oracle_hota(gt, hyp)
+    for k, v in oracle.items():
+        assert native[k] == pytest.approx(v, abs=1e-7), (
+            f"seed {seed}: {k} native={native[k]} oracle={v}")
+
+
+def test_hota_perfect_tracking_is_100():
+    from reid_tpu.tracking.metrics import evaluate_hota
+    gt = _frames({f: [(10 * f, 5, 20, 40, 1), (300, 2 * f, 30, 60, 2)]
+                  for f in range(1, 21)})
+    m = evaluate_hota(gt, gt)
+    for k in ("HOTA", "DetA", "AssA", "LocA", "DetRe", "DetPr"):
+        assert m[k] == pytest.approx(100.0)
+
+
+def test_hota_id_switch_hits_assa_not_deta():
+    """One gt track, hyp id flips halfway with perfect boxes: detection is
+    perfect (DetA=100) but each id pair covers half the track -> AssA=50,
+    HOTA = sqrt(0.5)*100."""
+    from reid_tpu.tracking.metrics import evaluate_hota
+    gt = _frames({f: [(5 * f, 10, 20, 40, 1)] for f in range(1, 11)})
+    hyp = _frames({f: [(5 * f, 10, 20, 40, 7 if f <= 5 else 8)]
+                   for f in range(1, 11)})
+    m = evaluate_hota(gt, hyp)
+    assert m["DetA"] == pytest.approx(100.0)
+    assert m["AssA"] == pytest.approx(50.0)
+    assert m["HOTA"] == pytest.approx(100.0 * np.sqrt(0.5))
+
+
+def test_hota_combine_sequences_pools_counters():
+    """TrackEval pooling: two copies of one sequence combine to the same
+    scores; a perfect and an imperfect sequence combine to something in
+    between (TP-weighted, not a naive percentage average)."""
+    from reid_tpu.tracking.metrics import combine_sequences_hota, evaluate_hota
+    rng = np.random.default_rng(3)
+    gt, hyp = _random_scene(rng)
+    m = evaluate_hota(gt, hyp)
+    twice = combine_sequences_hota({"a": m, "b": m})
+    for k in ("HOTA", "DetA", "AssA", "LocA"):
+        assert twice[k] == pytest.approx(m[k], abs=1e-9)
+    perfect = evaluate_hota(gt, gt)
+    mix = combine_sequences_hota({"a": m, "b": perfect})
+    assert m["HOTA"] < mix["HOTA"] < perfect["HOTA"]
+
+
+def test_evaluate_mot16_reports_hota(tmp_path):
+    """evaluate_mot16 runs HOTA through the same MotChallenge2DBox
+    preprocessing as CLEAR/Identity."""
+    from reid_tpu.tracking.metrics import evaluate_mot16
+    rng = np.random.default_rng(11)
+    gt_path, res_path = _write_mot16_scene(rng, tmp_path)
+    m = evaluate_mot16(gt_path, res_path)
+    assert 0.0 < m["HOTA"] <= 100.0
+    # per-alpha HOTA_a = sqrt(DetA_a*AssA_a); Cauchy-Schwarz bounds the
+    # alpha-mean: mean(sqrt(xy)) <= sqrt(mean x * mean y)
+    assert m["HOTA"] <= np.sqrt(m["DetA"] * m["AssA"]) + 1e-9
