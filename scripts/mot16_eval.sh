@@ -56,19 +56,23 @@ else
   MOT16_ROOT="$MOT16_ROOT" OUT="$OUT" python - <<'EOF'
 import os
 
-from reid_tpu.tracking.metrics import combine_sequences, evaluate_mot16
+from reid_tpu.tracking.metrics import (combine_sequences,
+                                       combine_sequences_hota, evaluate_mot16)
 
 root, out = os.environ["MOT16_ROOT"], os.environ["OUT"]
 seqs = ["MOT16-02", "MOT16-04", "MOT16-05", "MOT16-09", "MOT16-10",
         "MOT16-11", "MOT16-13"]
-cols = ["MOTA", "MOTP", "IDF1", "IDP", "IDR", "IDSW", "Frag", "FP", "FN"]
+cols = ["MOTA", "MOTP", "IDF1", "IDP", "IDR", "IDSW", "Frag", "FP", "FN",
+        "HOTA", "DetA", "AssA", "LocA"]
 per = {}
 for seq in seqs:
     per[seq] = evaluate_mot16(
         os.path.join(root, "train", seq, "gt", "gt.txt"),
         os.path.join(out, "data", seq + ".txt"))
-per["COMBINED"] = combine_sequences(
-    {k: v for k, v in per.items() if k != "COMBINED"})
+per["COMBINED"] = dict(
+    combine_sequences({k: v for k, v in per.items() if k != "COMBINED"}),
+    **combine_sequences_hota(
+        {k: v for k, v in per.items() if k != "COMBINED"}))
 print(f"{'seq':<10}" + "".join(f"{c:>9}" for c in cols))
 for seq, m in per.items():
     print(f"{seq:<10}" + "".join(f"{m[c]:>9.3f}" for c in cols))
