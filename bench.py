@@ -396,7 +396,7 @@ def _mot16_scene(rng, chunk, max_dets, n_real, hw):
 def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
                               n_real=50, max_tracks=128, hw=(1080, 1920),
                               int8=False, assignment="greedy_rounds",
-                              crop_hw=(256, 128)):
+                              crop_hw=(256, 128), crop_downsample=1):
     """End-to-end tracking fps at the reference's REAL MOT16 operating
     point: 1920x1080 frames, 50 dets/frame in 64-det capacity, 128 track
     slots, crop budget sized to the true load. The existing headline
@@ -408,7 +408,8 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
     from reid_tpu.tracking.tracker import init_tracker_state
 
     cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets, n_init=2,
-                        crop_hw=crop_hw, assignment=assignment)
+                        crop_hw=crop_hw, assignment=assignment,
+                        crop_downsample=crop_downsample)
     rng = np.random.default_rng(0)
 
     if int8:
@@ -727,6 +728,12 @@ def main():
         ("mot_tracking_fps_mot16_load_fastcrop",
          lambda: bench_tracking_mot16_load(model, variables,
                                            crop_hw=(128, 64))),
+        # beyond-reference crop-downsample mode: crop from a 2x2-pooled
+        # frame (~4x fewer crop-einsum FLOPs; lossless for boxes smaller
+        # than 512x256 — virtually every MOT16 person)
+        ("mot_tracking_fps_mot16_load_ds2",
+         lambda: bench_tracking_mot16_load(model, variables,
+                                           crop_downsample=2)),
         ("mot_tracking_fps_mot16_load_detector_in_loop",
          lambda: bench_tracking_mot16_detector_in_loop(model, variables)),
         ("yolov5s_detect_fps_640x640_nms300",

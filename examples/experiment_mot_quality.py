@@ -16,7 +16,7 @@ import numpy as np, jax, jax.numpy as jnp
 from reid_tpu.models import build_model
 from reid_tpu.tracking.methods import method_config
 from reid_tpu.tracking.pipeline import TrackingPipeline
-from reid_tpu.tracking.metrics import evaluate_clear_identity
+from reid_tpu.tracking.metrics import evaluate_clear_identity, evaluate_hota
 
 T, N_T, MAX_DETS = 120, 10, 16
 H, W = 480, 640
@@ -53,6 +53,8 @@ for method in METHODS:
                         np.asarray(r["ids"])[np.asarray(r["valid"])])
            for r in pipe.results}
     m = evaluate_clear_identity(gt, hyp)
+    m.update({k: vv for k, vv in evaluate_hota(gt, hyp).items()
+              if not k.startswith("_")})
     print(f"{method:11s}", {k: round(vv, 2) for k, vv in m.items()},
           f"({time.time() - t0:.0f}s)", flush=True)
 print("DONE")

@@ -157,6 +157,11 @@ class TrackerConfig:
                                        # cosine over the last nn_budget feats
                                        # per track) instead of the EMA feature
     crop_hw: Tuple[int, int] = (256, 128)  # ReID crop (h, w); ref TRACKING_EVAL.md:5
+    crop_downsample: int = 1           # crop from an s x s avg-pooled frame:
+                                       # the crop einsum scales with H*W, so
+                                       # s=2 cuts its FLOPs ~4x at 1080p;
+                                       # boxes smaller than s*crop_hw are
+                                       # upsampled anyway (lossless regime)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,7 +27,8 @@ from .mot import write_mot_txt
 
 
 def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
-                         ch: int, cw: int) -> jnp.ndarray:
+                         ch: int, cw: int, downsample: int = 1
+                         ) -> jnp.ndarray:
     """MXU matmul-based batched crop+resize: (H, W, 3) x (D, 4 tlwh) ->
     (D, ch, cw, 3).
 
@@ -39,7 +40,24 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
     4-point gather kernel runs ~100x slower than the MXU (measured 3.0 s vs
     this formulation for 1024 crops; TPU gathers are scalar-ish). The hat
     matrices are built from broadcasted iota (no gathers anywhere).
+
+    `downsample=s` crops from an s x s average-pooled copy of the frame
+    instead: the dominant einsum term scales with H*W, so s=2 cuts crop
+    FLOPs ~4x at 1080p. Quality: a box smaller than (s*ch, s*cw) — i.e.
+    virtually every MOT16 person at s=2 with 256x128 crops — is UPSAMPLED
+    into the crop, so the pooled plane still oversamples it; only
+    larger-than-(512,256) boxes lose resolution. The pool is one cheap
+    HBM-bound reduction per frame (edge-padded to a multiple of s).
     """
+    if downsample > 1:
+        s = int(downsample)
+        h0, w0 = img.shape[0], img.shape[1]
+        ph, pw = (-h0) % s, (-w0) % s
+        if ph or pw:
+            img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        img = img.astype(jnp.float32).reshape(
+            (h0 + ph) // s, s, (w0 + pw) // s, s, 3).mean(axis=(1, 3))
+        boxes = boxes / s
     h, w = img.shape[0], img.shape[1]
 
     def hat_weights(starts, sizes, out_dim, in_dim):
@@ -74,7 +92,7 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
 
 
 def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
-                    max_dets: int):
+                    max_dets: int, crop_downsample: int = 1):
     """Returns jit fn(frame (H,W,3) uint8, tlwh (D,4)) -> (D, F) embeddings.
 
     Crops + resizes each detection box to `crop_hw` on device (gather
@@ -90,7 +108,8 @@ def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
     @jax.jit
     def crop_embed(params, batch_stats, frame, tlwh):
         img = frame.astype(jnp.float32) / 255.0
-        crops = crop_resize_bilinear(img, tlwh, ch, cw)    # (D, ch, cw, 3)
+        crops = crop_resize_bilinear(img, tlwh, ch, cw,
+                                     downsample=crop_downsample)
         crops = (crops - mean) / std
         return embed_fn(params, batch_stats, crops)
 
@@ -165,7 +184,9 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
             boxes_c, conf_c, valid_c = tlwh, conf, valid
 
         crops = jax.vmap(
-            lambda img, boxes: crop_resize_bilinear(img, boxes, ch, cw)
+            lambda img, boxes: crop_resize_bilinear(
+                img, boxes, ch, cw,
+                downsample=getattr(cfg, "crop_downsample", 1))
         )(imgs, boxes_c)                                   # (T, cap, ...)
         crops = (crops - mean) / std
         crops = crops.reshape(t * cap, ch, cw, 3)
@@ -225,7 +246,9 @@ class TrackingPipeline:
         self.tracker = Tracker(cfg, feat_dim=feat_dim)
         self.state = self.tracker.init_state()
         self.crop_embed_raw = embed_fn
-        self.crop_embed = make_crop_embed(embed_fn, cfg.crop_hw, cfg.max_dets)
+        self.crop_embed = make_crop_embed(
+            embed_fn, cfg.crop_hw, cfg.max_dets,
+            crop_downsample=getattr(cfg, "crop_downsample", 1))
         self.params = params
         self.batch_stats = batch_stats
         self.results: List[dict] = []

@@ -337,3 +337,49 @@ def test_crowd_density_48_targets():
     assert len(stable) == 48
     for ids in per_frame_ids[4:]:
         assert set(ids.tolist()) == stable
+
+
+def test_crop_downsample_close_on_smooth_image():
+    """crop_downsample=2 crops from a 2x2-avg-pooled plane; on a smooth
+    image the result must match the full-res crop closely (a linear ramp is
+    preserved exactly by avg-pool + bilinear away from edges)."""
+    from reid_tpu.tracking.pipeline import crop_resize_bilinear
+    h, w = 120, 160
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack([yy / h, xx / w, (yy + xx) / (h + w)], -1).astype(
+        np.float32)
+    boxes = jnp.asarray([[30.0, 20.0, 40.0, 60.0],
+                         [100.0, 50.0, 30.0, 50.0]])
+    full = crop_resize_bilinear(jnp.asarray(img), boxes, 32, 16)
+    ds2 = crop_resize_bilinear(jnp.asarray(img), boxes, 32, 16,
+                               downsample=2)
+    assert ds2.shape == full.shape
+    assert float(jnp.abs(ds2 - full).max()) < 0.02
+
+
+def test_crop_downsample_odd_dims():
+    """Edge padding handles frames not divisible by the factor."""
+    from reid_tpu.tracking.pipeline import crop_resize_bilinear
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((121, 161, 3), dtype=np.float32))
+    boxes = jnp.asarray([[5.0, 5.0, 50.0, 70.0]])
+    out = crop_resize_bilinear(img, boxes, 32, 16, downsample=2)
+    assert out.shape == (1, 32, 16, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_crop_downsample_tracks_match():
+    """Solid-color targets: the 2x2-pooled crop plane yields the same track
+    ids as full-res through the chunked path (config knob end-to-end)."""
+    frames, tlwh, conf, valid = _sequence()
+
+    def run(ds):
+        cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                            crop_hw=(32, 16), crop_downsample=ds)
+        pipe = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+        pipe.run_sequence(frames, tlwh, conf, valid, chunk=8)
+        return [sorted(np.asarray(r["ids"])[np.asarray(r["valid"])].tolist())
+                for r in pipe.results]
+
+    assert run(1) == run(2)
+    assert run(2)[-1] == [1, 2]
