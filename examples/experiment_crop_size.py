@@ -47,11 +47,18 @@ def main(methods, t_total):
         return f / jnp.maximum(
             jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
 
+    # (label, crop_hw, crop_downsample): fast-crop shrinks the EMBED,
+    # ds2 shrinks the CROP EINSUM input plane (lossless for boxes smaller
+    # than 2*crop_hw; this scene's boxes are, like MOT16's)
+    variants = (("256x128", (256, 128), 1),
+                ("128x64", (128, 64), 1),
+                ("256x128ds2", (256, 128), 2))
     results = {}
-    for crop_hw in ((256, 128), (128, 64)):
+    for label, crop_hw, ds in variants:
         for method in methods:
             cfg = method_config(method, max_tracks=64, max_dets=max_dets,
-                                n_init=2, crop_hw=crop_hw)
+                                n_init=2, crop_hw=crop_hw,
+                                crop_downsample=ds)
             pipe = TrackingPipeline(cfg, embed_fn, v["params"],
                                     v["batch_stats"], feat_dim=512 + 128)
             t0 = time.time()
@@ -62,19 +69,20 @@ def main(methods, t_total):
                     np.asarray(r["ids"])[np.asarray(r["valid"])])
                    for r in pipe.results}
             m = evaluate_clear_identity(gt, hyp)
-            results[(method, crop_hw)] = m
-            print(f"  {crop_hw[0]}x{crop_hw[1]:<3d} {method:11s} "
+            results[(method, label)] = m
+            print(f"  {label:11s} {method:11s} "
                   f"MOTA {m['MOTA']:6.2f}  IDF1 {m['IDF1']:6.2f}  "
                   f"IDSW {m['IDSW']:.0f} ({time.time()-t0:.0f}s)",
                   flush=True)
 
-    print("\nfast-crop deltas (128x64 - 256x128):")
-    for method in methods:
-        b = results[(method, (256, 128))]
-        q = results[(method, (128, 64))]
-        print(f"  {method:11s} dMOTA {q['MOTA'] - b['MOTA']:+6.2f}  "
-              f"dIDF1 {q['IDF1'] - b['IDF1']:+6.2f}  "
-              f"dIDSW {q['IDSW'] - b['IDSW']:+.0f}")
+    for label, _, _ in variants[1:]:
+        print(f"\n{label} deltas vs 256x128:")
+        for method in methods:
+            b = results[(method, "256x128")]
+            q = results[(method, label)]
+            print(f"  {method:11s} dMOTA {q['MOTA'] - b['MOTA']:+6.2f}  "
+                  f"dIDF1 {q['IDF1'] - b['IDF1']:+6.2f}  "
+                  f"dIDSW {q['IDSW'] - b['IDSW']:+.0f}")
     return results
 
 
