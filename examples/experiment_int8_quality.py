@@ -85,10 +85,15 @@ def part_a_embed(methods=("strongsort", "deepocsort", "ocsort", "bytetrack",
         for method in methods:
             cfg = method_config(method, max_tracks=64, max_dets=max_dets,
                                 n_init=2, crop_hw=(128, 64))
+            # chunked path (one compile + ~t_total/chunk dispatches):
+            # the per-frame step() loop is relay-dispatch-bound on the dev
+            # tunnel (the 2026-08-18 queue run timed out on it).  gmc_mode
+            # "host" keeps the botsort affine estimator identical to the
+            # step() path, so quality rows are comparable across runs.
             pipe = TrackingPipeline(cfg, embed_fn, v["params"],
-                                    v["batch_stats"], feat_dim=512 + 128)
-            for t in range(t_total):
-                pipe.step(t + 1, frames[t], tlwh[t], conf[t], valid[t])
+                                    v["batch_stats"], feat_dim=512 + 128,
+                                    gmc_mode="host")
+            pipe.run_sequence(frames, tlwh, conf, valid, chunk=24)
             hyp = {r["frame"]:
                    (np.asarray(r["tlwh"])[np.asarray(r["valid"])],
                     np.asarray(r["ids"])[np.asarray(r["valid"])])
