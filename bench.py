@@ -734,6 +734,12 @@ def main():
         ("mot_tracking_fps_mot16_load_ds2",
          lambda: bench_tracking_mot16_load(model, variables,
                                            crop_downsample=2)),
+        # fastest known-quality point: int8 embed (rank-1 +0.4% on the
+        # hard rehearsal) x 128x64 fast-crops (quality trade measured in
+        # EVAL.md "Fast-crop mode")
+        ("mot_tracking_fps_mot16_load_int8_fastcrop",
+         lambda: bench_tracking_mot16_load(model, variables, int8=True,
+                                           crop_hw=(128, 64))),
         ("mot_tracking_fps_mot16_load_detector_in_loop",
          lambda: bench_tracking_mot16_detector_in_loop(model, variables)),
         ("yolov5s_detect_fps_640x640_nms300",

@@ -202,6 +202,17 @@ def main():
 
     ref = timed("f32", lambda im, bx_: crop_resize_bilinear(
         im, bx_, ch, cw))
+    if "--ds-ab" in sys.argv:
+        # ds2 end-to-end benched as a WASH (333.7 vs 335.2 fps) despite a
+        # ~3x crop-FLOP cut on paper; time the crop stage alone to see
+        # whether the stage sped up at all (win lost elsewhere) or the
+        # pooled einsum is bound by something FLOP-independent.
+        timed("f32_ds2", lambda im, bx_: crop_resize_bilinear(
+            im, bx_, ch, cw, downsample=2))
+        timed("f32_ds4", lambda im, bx_: crop_resize_bilinear(
+            im, bx_, ch, cw, downsample=4))
+        print(json.dumps(out))
+        return
     for tag, fn, raw, ser in (("bf16", crop_bf16, False, False),
                               ("hybrid", crop_hybrid, False, True),
                               ("hybrid_u8", crop_hybrid_u8, True, True)):
