@@ -43,11 +43,17 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
 
     `downsample=s` crops from an s x s average-pooled copy of the frame
     instead: the dominant einsum term scales with H*W, so s=2 cuts crop
-    FLOPs ~4x at 1080p. Quality: a box smaller than (s*ch, s*cw) — i.e.
-    virtually every MOT16 person at s=2 with 256x128 crops — is UPSAMPLED
-    into the crop, so the pooled plane still oversamples it; only
-    larger-than-(512,256) boxes lose resolution. The pool is one cheap
-    HBM-bound reduction per frame (edge-padded to a multiple of s).
+    FLOPs ~4x at 1080p ON PAPER. Measured on the v5e (2026-08-18, 1080p,
+    D=50): NOT a speed lever — the stage runs 0.852 ms/frame at s=1 but
+    1.000 at s=2 and 0.833 at s=4, because the einsum's MXU efficiency
+    collapses with the smaller shapes (pure-einsum probe: 82 -> 31 ->
+    12.5 TF/s effective) and the hat-matrix build is overhead-bound and
+    flat (~0.4 ms/frame at every s). Keep s=1 for speed; s>1 remains
+    useful only to bound the pooled-frame HBM footprint. Quality at s=2:
+    a box smaller than (s*ch, s*cw) — virtually every MOT16 person with
+    256x128 crops — is UPSAMPLED into the crop either way, so the pooled
+    plane still oversamples it; only larger-than-(512,256) boxes lose
+    resolution.
     """
     if downsample > 1:
         s = int(downsample)
