@@ -224,6 +224,23 @@ def decode_yolo(
     return top[..., :4], top_s, top[..., 5]
 
 
+def _nms_alive_serial(suppress, alive0):
+    """Sequential-greedy survivor mask (the textbook K-step loop).
+
+    Oracle for the rounds-fixpoint formulation in `nms_fixed` — NumPy,
+    deliberately independent of the jit path."""
+    import numpy as np
+
+    suppress = np.asarray(suppress)
+    alive = np.asarray(alive0).copy()
+    k = alive.shape[0]
+    for i in range(k):
+        if alive[i]:
+            kill = suppress[i] & (np.arange(k) > i)
+            alive &= ~kill
+    return alive
+
+
 @functools.partial(jax.jit, static_argnames=("max_dets",))
 def nms_fixed(xywh: jnp.ndarray, scores: jnp.ndarray, cls: jnp.ndarray,
               iou_thres: float = 0.45, conf_thres: float = 0.25,
@@ -233,9 +250,20 @@ def nms_fixed(xywh: jnp.ndarray, scores: jnp.ndarray, cls: jnp.ndarray,
     xywh (K, 4) center-format, scores (K,) DESCENDING, cls (K,).
     Returns (tlwh (max_dets, 4), conf (max_dets,), valid (max_dets,)).
     Replaces the reference's torchvision non_max_suppression
-    (ref track_yolov5.py:193-199) with a jit-compatible fixed-capacity pass:
-    one KxK IoU matrix then a K-step suppression loop of vector ops.
-    """
+    (ref track_yolov5.py:193-199) with a jit-compatible fixed-capacity pass.
+
+    TPU formulation: greedy NMS is the unique fixpoint of
+        alive_i = (score_i > conf) and not any(j < i, alive_j, iou_ji > thr)
+    (dependencies form a DAG in score order, so the recurrence has exactly
+    one solution — the sequential greedy answer). Instead of a K-step
+    serial loop (K=512-1024 candidate slots cost ~K dispatch-latency-bound
+    iterations on TPU — the same pathology greedy_assign_rounds fixed in
+    the association stage), iterate the recurrence Jacobi-style: each
+    round is ONE (K,)x(K,K) masked matvec on the MXU, and round r
+    finalizes every box whose suppression-chain depth is <= r, so the
+    while_loop exits after depth+1 rounds (2-5 on real scenes, worst case
+    K). Output is bit-identical to the serial loop (`_nms_alive_serial`
+    kept for the parity test, tests/test_yolo.py)."""
     k = xywh.shape[0]
     tl = xywh[:, :2] - 0.5 * xywh[:, 2:4]
     br = xywh[:, :2] + 0.5 * xywh[:, 2:4]
@@ -249,13 +277,22 @@ def nms_fixed(xywh: jnp.ndarray, scores: jnp.ndarray, cls: jnp.ndarray,
     suppress = (iou > iou_thres) & same_cls
 
     alive0 = scores > conf_thres
+    # strictly-lower-triangular kill edges: M[j, i] = higher-scored j
+    # suppresses i.  f32 for the MXU matvec.
+    idx = jnp.arange(k)
+    mask = (suppress & (idx[:, None] < idx[None])).astype(jnp.float32)
 
-    def body(i, alive):
-        # if candidate i survived, kill every lower-scored same-class overlap
-        kill = suppress[i] & (jnp.arange(k) > i) & alive[i]
-        return alive & ~kill
+    def cond(carry):
+        alive, prev, it = carry
+        return jnp.logical_and(it < k, jnp.any(alive != prev))
 
-    alive = jax.lax.fori_loop(0, k, body, alive0)
+    def body(carry):
+        alive, _, it = carry
+        blocked = alive.astype(jnp.float32) @ mask > 0.0
+        return alive0 & ~blocked, alive, it + 1
+
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (alive0, jnp.zeros_like(alive0), 0))
     sel_score = jnp.where(alive, scores, -jnp.inf)
     conf, order = jax.lax.top_k(sel_score, min(max_dets, k))
     boxes = jnp.concatenate([tl, xywh[:, 2:4]], axis=1)[order]   # tlwh

@@ -280,6 +280,56 @@ def test_nms_fixed_matches_greedy_oracle():
         np.testing.assert_allclose(kept_scores, oracle_scores, rtol=1e-6)
 
 
+def test_nms_rounds_fixpoint_on_deep_chains():
+    """The rounds-fixpoint NMS must match sequential greedy on suppression
+    LADDERS — boxes along a line where each overlaps only its neighbours,
+    so survival alternates (kill/revive) and the Jacobi iteration needs
+    chain-depth rounds, not one. This is the case a naive one-shot
+    'suppressed by any higher-scored box' formulation gets wrong."""
+    from reid_tpu.models.yolo import _nms_alive_serial
+
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        n_chain = rng.integers(8, 24)
+        # width 20 @ step 6: IoU(neighbour) = (14*20)/(800-280) = 0.54 >
+        # 0.45 but IoU(next-next) = 0.25 < 0.45 -> survival alternates
+        # down the ladder (kill/revive chains of depth ~n_chain/2)
+        step = 6.0
+        xy = np.stack([np.arange(n_chain) * step,
+                       np.zeros(n_chain)], 1) + rng.uniform(-1, 1,
+                                                            (n_chain, 2))
+        wh = np.full((n_chain, 2), 20.0)
+        extra = rng.integers(5, 15)
+        xy2 = rng.uniform(0, 300, (extra, 2))
+        wh2 = rng.uniform(8, 40, (extra, 2))
+        xywh = np.concatenate(
+            [np.concatenate([xy, wh], 1),
+             np.concatenate([xy2, wh2], 1)]).astype(np.float32)
+        scores = rng.uniform(0.35, 1.0, len(xywh)).astype(np.float32)
+        cls = np.zeros(len(xywh), np.float32)
+        order = np.argsort(-scores)
+        xywh_s, scores_s, cls_s = xywh[order], scores[order], cls[order]
+
+        tlwh, conf, valid = nms_fixed(jnp.asarray(xywh_s),
+                                      jnp.asarray(scores_s),
+                                      jnp.asarray(cls_s),
+                                      iou_thres=0.45, conf_thres=0.3,
+                                      max_dets=len(xywh))
+        # independent serial oracle over the same suppress geometry
+        tl = xywh_s[:, :2] - 0.5 * xywh_s[:, 2:]
+        br = xywh_s[:, :2] + 0.5 * xywh_s[:, 2:]
+        itl = np.maximum(tl[:, None], tl[None])
+        ibr = np.minimum(br[:, None], br[None])
+        iwh = np.clip(ibr - itl, 0, None)
+        inter = iwh[..., 0] * iwh[..., 1]
+        area = np.prod(br - tl, -1)
+        iou = inter / np.maximum(area[:, None] + area[None] - inter, 1e-9)
+        alive = _nms_alive_serial(iou > 0.45, scores_s > 0.3)
+        got = sorted(np.asarray(conf)[np.asarray(valid)].tolist())
+        exp = sorted(scores_s[alive].tolist())
+        np.testing.assert_allclose(got, exp, rtol=1e-6)
+
+
 def test_yolo_detector_fn_contract():
     """Serve contract: uint8 frame in -> (tlwh, conf, valid) in frame
     pixels with static max_dets capacity, letterbox undone."""
