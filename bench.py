@@ -438,8 +438,12 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
         return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
                                1e-12)
 
+    # frame_crop_cap = the true per-frame load: the crop einsum pays for
+    # n_real crops, not the 64-slot capacity (output-identical when
+    # cap >= valid count — the parity-tested make_chunked_tracker contract)
     run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
-                                     crop_budget=chunk * n_real)
+                                     crop_budget=chunk * n_real,
+                                     frame_crop_cap=n_real)
     frames, tlwh, conf, valid = _mot16_scene(rng, chunk, max_dets, n_real,
                                              hw)
     state = init_tracker_state(max_tracks, 512 + 751)
