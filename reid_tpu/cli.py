@@ -407,8 +407,10 @@ def track_main(argv=None):
     p.add_argument("--max_dets", type=int, default=64)
     p.add_argument("--crop_downsample", type=int, default=1,
                    help="crop ReID boxes from an s x s avg-pooled frame "
-                        "(~4x less crop-einsum FLOPs at s=2 on 1080p; "
-                        "lossless for boxes smaller than s*crop_hw)")
+                        "(bounds the pooled-frame memory footprint; "
+                        "measured NOT faster on TPU — the crop einsum is "
+                        "shape-efficiency-bound, not FLOP-bound; lossless "
+                        "for boxes smaller than s*crop_hw)")
     p.add_argument("--crop_hw", type=int, nargs=2, default=(256, 128),
                    metavar=("H", "W"),
                    help="ReID crop size (ref TRACKING_EVAL.md:5; "
