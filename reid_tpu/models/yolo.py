@@ -12,8 +12,9 @@ TPU-native implementation of the same architecture family:
 TPU-first design choices: NHWC layout throughout, every block a jit-friendly
 static graph, decode as one vectorized program over all grid cells (sigmoid
 algebra on the MXU-fed conv outputs), and class-wise NMS as a fixed-K greedy
-suppression loop (`lax.fori_loop` over a precomputed KxK IoU matrix) instead
-of the reference's dynamic-shape torchvision NMS. Variant scaling matches the
+rounds FIXPOINT (one masked matvec per suppression-depth level over a
+precomputed KxK IoU matrix — see `nms_fixed`) instead of the reference's
+dynamic-shape torchvision NMS. Variant scaling matches the
 family's depth/width multiples so published yolov5n/s/m/l/x torch weights
 convert directly (`utils.torch_convert.convert_yolov5`).
 
