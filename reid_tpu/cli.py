@@ -411,6 +411,10 @@ def track_main(argv=None):
                         "measured NOT faster on TPU — the crop einsum is "
                         "shape-efficiency-bound, not FLOP-bound; lossless "
                         "for boxes smaller than s*crop_hw)")
+    p.add_argument("--frame_crop_cap", type=int, default=0,
+                   help="crop/embed only the top-N valid boxes per frame "
+                        "(0 = every det slot); lets --max_dets 300 serve "
+                        "pay only for the boxes actually present")
     p.add_argument("--crop_hw", type=int, nargs=2, default=(256, 128),
                    metavar=("H", "W"),
                    help="ReID crop size (ref TRACKING_EVAL.md:5; "
@@ -456,7 +460,8 @@ def track_main(argv=None):
                         min_confidence=args.conf_thres,
                         max_dets=args.max_dets,
                         crop_hw=tuple(args.crop_hw),
-                        crop_downsample=args.crop_downsample)
+                        crop_downsample=args.crop_downsample,
+                        frame_crop_cap=args.frame_crop_cap or None)
     model = build_model(args.backbone, num_classes=args.num_classes,
                         dtype=jnp.bfloat16)
     dummy = jnp.zeros((2, *cfg.crop_hw, 3), jnp.bfloat16)

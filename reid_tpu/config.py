@@ -158,10 +158,20 @@ class TrackerConfig:
                                        # per track) instead of the EMA feature
     crop_hw: Tuple[int, int] = (256, 128)  # ReID crop (h, w); ref TRACKING_EVAL.md:5
     crop_downsample: int = 1           # crop from an s x s avg-pooled frame:
-                                       # the crop einsum scales with H*W, so
-                                       # s=2 cuts its FLOPs ~4x at 1080p;
-                                       # boxes smaller than s*crop_hw are
-                                       # upsampled anyway (lossless regime)
+                                       # bounds the pooled-plane footprint;
+                                       # measured NOT faster on TPU (crop
+                                       # einsum is shape-bound, not
+                                       # FLOP-bound); boxes smaller than
+                                       # s*crop_hw are upsampled anyway
+                                       # (lossless regime)
+    frame_crop_cap: Optional[int] = None  # crop/embed only the top-cap
+                                       # valid-by-confidence boxes per frame
+                                       # (det SLOTS can exceed the affordable
+                                       # crop count, e.g. a 300-det NMS feed);
+                                       # slots beyond the cap are dropped from
+                                       # `valid`. cap >= #valid per frame is
+                                       # output-identical. None = crop every
+                                       # slot.
 
 
 @dataclasses.dataclass(frozen=True)

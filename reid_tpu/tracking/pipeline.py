@@ -98,26 +98,51 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
 
 
 def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
-                    max_dets: int, crop_downsample: int = 1):
-    """Returns jit fn(frame (H,W,3) uint8, tlwh (D,4)) -> (D, F) embeddings.
+                    max_dets: int, crop_downsample: int = 1,
+                    frame_crop_cap: Optional[int] = None):
+    """Returns jit fn(frame (H,W,3) uint8, tlwh (D,4), conf (D,),
+    valid (D,)) -> (feats (D, F), valid (D,)).
 
-    Crops + resizes each detection box to `crop_hw` on device (gather
-    bilinear), normalizes (ImageNet), and embeds. Invalid boxes produce
-    garbage rows that the tracker masks out. Replaces the reference's
-    per-crop cv2 resize + torchvision normalize inside the submodule's ReID
-    multibackend.
+    Crops + resizes each detection box to `crop_hw` on device (MXU hat-
+    matrix bilinear), normalizes (ImageNet), and embeds. Invalid boxes
+    produce garbage rows that the tracker masks out. Replaces the
+    reference's per-crop cv2 resize + torchvision normalize inside the
+    submodule's ReID multibackend.
+
+    `frame_crop_cap` bounds the crop+embed work to the top-cap
+    valid-by-confidence boxes (the same contract as the chunked path's
+    cap: a 300-det-slot serve with ~20 people pays for 20-ish crops, not
+    300); dropped slots come back with valid=False and zero features.
+    cap >= #valid is output-identical to the uncapped path.
     """
     ch, cw = crop_hw
     mean = jnp.asarray((0.485, 0.456, 0.406))
     std = jnp.asarray((0.229, 0.224, 0.225))
+    cap = (max_dets if frame_crop_cap is None
+           else min(frame_crop_cap, max_dets))
 
     @jax.jit
-    def crop_embed(params, batch_stats, frame, tlwh):
+    def crop_embed(params, batch_stats, frame, tlwh, conf, valid):
         img = frame.astype(jnp.float32) / 255.0
-        crops = crop_resize_bilinear(img, tlwh, ch, cw,
+        if cap < max_dets:
+            score = jnp.where(valid, conf, -jnp.inf)
+            sel = jax.lax.top_k(score, cap)[1]               # (cap,)
+            boxes = jnp.take(tlwh, sel, axis=0)
+            kept = jnp.zeros((max_dets,), bool).at[sel].set(True)
+            valid = valid & kept
+        else:
+            sel = jnp.arange(max_dets)
+            boxes = tlwh
+        crops = crop_resize_bilinear(img, boxes, ch, cw,
                                      downsample=crop_downsample)
         crops = (crops - mean) / std
-        return embed_fn(params, batch_stats, crops)
+        feats_c = embed_fn(params, batch_stats, crops)       # (cap, F)
+        if cap < max_dets:
+            feats = jnp.zeros((max_dets, feats_c.shape[1]),
+                              feats_c.dtype).at[sel].set(feats_c)
+        else:
+            feats = feats_c
+        return feats, valid
 
     return crop_embed
 
@@ -158,6 +183,8 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
 
     if use_gmc is None:
         use_gmc = uses_gmc(cfg)
+    if frame_crop_cap is None:
+        frame_crop_cap = getattr(cfg, "frame_crop_cap", None)
     ch, cw = crop_hw
     mean = jnp.asarray((0.485, 0.456, 0.406))
     std = jnp.asarray((0.229, 0.224, 0.225))
@@ -254,7 +281,8 @@ class TrackingPipeline:
         self.crop_embed_raw = embed_fn
         self.crop_embed = make_crop_embed(
             embed_fn, cfg.crop_hw, cfg.max_dets,
-            crop_downsample=getattr(cfg, "crop_downsample", 1))
+            crop_downsample=getattr(cfg, "crop_downsample", 1),
+            frame_crop_cap=getattr(cfg, "frame_crop_cap", None))
         self.params = params
         self.batch_stats = batch_stats
         self.results: List[dict] = []
@@ -280,12 +308,13 @@ class TrackingPipeline:
                 affine = estimate_affine(self._prev_frame, frame)
                 self.state = apply_gmc(self.state, jnp.asarray(affine))
             self._prev_frame = frame
-        feats = self.crop_embed(self.params, self.batch_stats,
-                                jnp.asarray(frame), jnp.asarray(tlwh))
+        feats, valid_d = self.crop_embed(
+            self.params, self.batch_stats, jnp.asarray(frame),
+            jnp.asarray(tlwh), jnp.asarray(conf), jnp.asarray(valid))
         t1 = time.perf_counter()
         self.state, out = self.tracker.update(
             self.state, jnp.asarray(tlwh), jnp.asarray(conf), feats,
-            jnp.asarray(valid),
+            valid_d,
         )
         out = jax.device_get(out)
         t2 = time.perf_counter()

@@ -383,3 +383,41 @@ def test_crop_downsample_tracks_match():
 
     assert run(1) == run(2)
     assert run(2)[-1] == [1, 2]
+
+
+def test_per_frame_crop_cap_parity_and_capping():
+    """cfg.frame_crop_cap on the PER-FRAME step path: cap >= #valid is
+    output-identical to the uncapped path (same contract the chunked path
+    proves for make_chunked_tracker); cap < #valid keeps only the top-cap
+    by confidence."""
+    frames, tlwh, conf, valid = _sequence()
+    base = dict(max_tracks=16, max_dets=8, n_init=2, crop_hw=(32, 16))
+
+    pipe_a = TrackingPipeline(TrackerConfig(**base), _embed_fn, {}, {},
+                              feat_dim=9)
+    pipe_b = TrackingPipeline(TrackerConfig(**base, frame_crop_cap=4),
+                              _embed_fn, {}, {}, feat_dim=9)
+    for i in range(frames.shape[0]):
+        pipe_a.step(i + 1, frames[i], tlwh[i], conf[i], valid[i])
+        pipe_b.step(i + 1, frames[i], tlwh[i], conf[i], valid[i])
+
+    for ra, rb in zip(pipe_a.results, pipe_b.results):
+        va, vb = np.asarray(ra["valid"]), np.asarray(rb["valid"])
+        np.testing.assert_array_equal(va, vb)
+        np.testing.assert_array_equal(np.asarray(ra["ids"])[va],
+                                      np.asarray(rb["ids"])[vb])
+        np.testing.assert_allclose(np.asarray(ra["tlwh"])[va],
+                                   np.asarray(rb["tlwh"])[vb], rtol=1e-5)
+
+    # cap below the load: 2 real targets, cap=1 -> only the higher-conf
+    # box survives the crop stage each frame
+    conf2 = conf.copy()
+    conf2[:, 1] = 0.6   # target 2 strictly lower confidence
+    pipe_c = TrackingPipeline(TrackerConfig(**base, frame_crop_cap=1),
+                              _embed_fn, {}, {}, feat_dim=9)
+    for i in range(frames.shape[0]):
+        out = pipe_c.step(i + 1, frames[i], tlwh[i], conf2[i], valid[i])
+        assert int(np.asarray(out["valid"]).sum()) <= 1
+    ids_last = np.asarray(pipe_c.results[-1]["ids"])[
+        np.asarray(pipe_c.results[-1]["valid"])]
+    assert ids_last.tolist() == [1]
