@@ -78,7 +78,8 @@ def bench_tracking(model, variables, chunk=64, max_dets=32):
     # crop budget = actual detection load (16/frame): the embed batch is
     # compacted to the valid crops (output-identical when budget >= #valid)
     run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
-                                     crop_budget=chunk * 16)
+                                     crop_budget=chunk * 16,
+                                     frame_crop_cap=16)
     rng = np.random.default_rng(0)
     frames = jax.device_put(
         rng.integers(0, 255, (chunk, 480, 640, 3)).astype(np.uint8))
@@ -191,7 +192,8 @@ def bench_tracking_botsort_gmc(model, variables, chunk=64, max_dets=32):
                                1e-12)
 
     run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
-                                     crop_budget=chunk * 16)
+                                     crop_budget=chunk * 16,
+                                     frame_crop_cap=16)
     rng = np.random.default_rng(0)
     frames = jax.device_put(
         rng.integers(0, 255, (chunk, 480, 640, 3)).astype(np.uint8))
@@ -281,7 +283,8 @@ def bench_tracking_int8(model, variables, chunk=64, max_dets=32):
                                1e-12)
 
     run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
-                                     crop_budget=chunk * 16)
+                                     crop_budget=chunk * 16,
+                                     frame_crop_cap=16)
     frames = jax.device_put(
         rng.integers(0, 255, (chunk, 480, 640, 3)).astype(np.uint8))
     tlwh = np.zeros((chunk, max_dets, 4), np.float32)
@@ -343,7 +346,7 @@ def bench_tracking_multistream(model, variables, n_streams=8, chunk=64,
 
     s = n_streams
     run = make_stream_tracker(cfg, embed_fn, cfg.crop_hw, chunk=chunk,
-                              crop_budget=chunk * 16)
+                              crop_budget=chunk * 16)  # cap via cfg below
     frames = jax.device_put(
         rng.integers(0, 255, (s, chunk, 480, 640, 3)).astype(np.uint8))
     tlwh = np.zeros((s, chunk, max_dets, 4), np.float32)
