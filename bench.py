@@ -326,7 +326,9 @@ def bench_tracking_multistream(model, variables, n_streams=8, chunk=64,
     from reid_tpu.utils.quantize import quantize, quantized_apply
 
     cfg = TrackerConfig(max_tracks=64, max_dets=max_dets, n_init=2,
-                        crop_hw=(256, 128))
+                        crop_hw=(256, 128),
+                        frame_crop_cap=16)  # scripted 16 dets/stream/frame
+
     rng = np.random.default_rng(0)
     mean = np.asarray((0.485, 0.456, 0.406), np.float32)
     std = np.asarray((0.229, 0.224, 0.225), np.float32)
