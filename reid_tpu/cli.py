@@ -409,8 +409,9 @@ def track_main(argv=None):
                    help="crop ReID boxes from an s x s avg-pooled frame "
                         "(bounds the pooled-frame memory footprint; "
                         "measured NOT faster on TPU — the crop einsum is "
-                        "shape-efficiency-bound, not FLOP-bound; lossless "
-                        "for boxes smaller than s*crop_hw)")
+                        "shape-efficiency-bound, not FLOP-bound; "
+                        "near-lossless for boxes smaller than s*crop_hw — "
+                        "pool+bilinear is not bit-identical to full-res)")
     p.add_argument("--frame_crop_cap", type=int, default=0,
                    help="crop/embed only the top-N valid boxes per frame "
                         "(0 = every det slot); lets --max_dets 300 serve "

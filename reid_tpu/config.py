@@ -163,7 +163,9 @@ class TrackerConfig:
                                        # einsum is shape-bound, not
                                        # FLOP-bound); boxes smaller than
                                        # s*crop_hw are upsampled anyway
-                                       # (lossless regime)
+                                       # (near-lossless, oversampled
+                                       # regime — pool+bilinear is not
+                                       # bit-identical to full-res crops)
     frame_crop_cap: Optional[int] = None  # crop/embed only the top-cap
                                        # valid-by-confidence boxes per frame
                                        # (det SLOTS can exceed the affordable

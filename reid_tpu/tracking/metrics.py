@@ -486,6 +486,12 @@ def combine_sequences_hota(per_seq: Dict[str, Dict[str, float]]
     """TrackEval hota.py combine_sequences: sum the per-alpha TP/FN/FP
     counters, pool AssA/AssRe/AssPr and LocA as TP-weighted means, then
     recompute the final fields — NOT an average of per-sequence HOTAs."""
+    missing = [k for k, m in per_seq.items() if "_hota" not in m]
+    if missing:
+        raise ValueError(
+            "combine_sequences_hota needs the per-alpha counter arrays "
+            f"('_hota' key) but sequences {missing} lack them — score them "
+            "with evaluate_hota, or evaluate_mot16(keep_hota_arrays=True).")
     arrs = [m["_hota"] for m in per_seq.values()]
     tp = sum(a["HOTA_TP"] for a in arrs)
     out = {
@@ -503,7 +509,8 @@ def combine_sequences_hota(per_seq: Dict[str, Dict[str, float]]
 
 def evaluate_mot16(gt_path: str, res_path: str, iou_thr: float = 0.5,
                    preprocess: bool = True, benchmark: str = "MOT16",
-                   hota: bool = True) -> Dict[str, float]:
+                   hota: bool = True,
+                   keep_hota_arrays: bool = False) -> Dict[str, float]:
     """Score a MOT16 result file against a real 9-column gt.txt with
     TrackEval-exact semantics: MotChallenge2DBox preprocessing (distractor-
     matched tracker-det removal, zero-mark + pedestrian gt filter, crowd
@@ -520,4 +527,9 @@ def evaluate_mot16(gt_path: str, res_path: str, iou_thr: float = 0.5,
     out = evaluate_clear_identity(gt, hyp, iou_thr=iou_thr)
     if hota:
         out.update(evaluate_hota(gt, hyp))
+        if not keep_hota_arrays:
+            # the raw per-alpha numpy arrays are not JSON-serializable;
+            # callers that pool across sequences (combine_sequences_hota)
+            # opt in with keep_hota_arrays=True
+            out.pop("_hota", None)
     return out

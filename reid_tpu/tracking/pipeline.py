@@ -52,8 +52,9 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
     useful only to bound the pooled-frame HBM footprint. Quality at s=2:
     a box smaller than (s*ch, s*cw) — virtually every MOT16 person with
     256x128 crops — is UPSAMPLED into the crop either way, so the pooled
-    plane still oversamples it; only larger-than-(512,256) boxes lose
-    resolution.
+    plane still oversamples it (near-lossless: pool-then-bilinear is not
+    bit-identical to the full-res crop — measured maxdiff < 0.02 on smooth
+    ramps); larger-than-(512,256) boxes genuinely lose resolution.
     """
     if downsample > 1:
         s = int(downsample)
@@ -118,6 +119,10 @@ def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
     ch, cw = crop_hw
     mean = jnp.asarray((0.485, 0.456, 0.406))
     std = jnp.asarray((0.229, 0.224, 0.225))
+    if frame_crop_cap is not None and frame_crop_cap <= 0:
+        # cap=0 would top_k(k=0) and silently drop EVERY detection; treat
+        # non-positive caps as "no cap" (the CLI already maps 0 -> None)
+        frame_crop_cap = None
     cap = (max_dets if frame_crop_cap is None
            else min(frame_crop_cap, max_dets))
 
@@ -185,6 +190,8 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
         use_gmc = uses_gmc(cfg)
     if frame_crop_cap is None:
         frame_crop_cap = getattr(cfg, "frame_crop_cap", None)
+    if frame_crop_cap is not None and frame_crop_cap <= 0:
+        frame_crop_cap = None        # 0 would silently drop every det
     ch, cw = crop_hw
     mean = jnp.asarray((0.485, 0.456, 0.406))
     std = jnp.asarray((0.229, 0.224, 0.225))

@@ -68,7 +68,8 @@ per = {}
 for seq in seqs:
     per[seq] = evaluate_mot16(
         os.path.join(root, "train", seq, "gt", "gt.txt"),
-        os.path.join(out, "data", seq + ".txt"))
+        os.path.join(out, "data", seq + ".txt"),
+        keep_hota_arrays=True)  # needed for combine_sequences_hota pooling
 per["COMBINED"] = dict(
     combine_sequences({k: v for k, v in per.items() if k != "COMBINED"}),
     **combine_sequences_hota(

@@ -439,6 +439,32 @@ def test_mot16_distractor_matched_det_removed(tmp_path):
     assert m_raw["FP"] == 1.0
 
 
+def test_evaluate_mot16_json_safe_and_pooling_optin(tmp_path):
+    """evaluate_mot16's default return must survive json.dumps (bench
+    harnesses write *.json result files); the raw per-alpha arrays needed
+    by combine_sequences_hota are an explicit opt-in, and pooling without
+    them raises a clear error instead of a KeyError (ADVICE r4)."""
+    import json
+
+    import pytest
+
+    from reid_tpu.tracking.metrics import (combine_sequences_hota,
+                                           evaluate_mot16)
+
+    gt = tmp_path / "gt.txt"
+    res = tmp_path / "res.txt"
+    gt.write_text("1,1,10,10,20,40,1,1,1\n")
+    res.write_text("1,5,10,10,20,40,0.9,-1,-1,-1\n")
+    m = evaluate_mot16(str(gt), str(res))
+    assert "_hota" not in m
+    json.dumps(m)  # must not raise
+    with pytest.raises(ValueError, match="keep_hota_arrays"):
+        combine_sequences_hota({"seq": m})
+    m_pool = evaluate_mot16(str(gt), str(res), keep_hota_arrays=True)
+    pooled = combine_sequences_hota({"a": m_pool, "b": m_pool})
+    assert pooled["HOTA"] == pytest.approx(m_pool["HOTA"])
+
+
 def test_mot20_non_mot_vehicle_distractor(tmp_path):
     """non_mot_vehicle (class 6) joins the distractor set only under the
     MOT20 benchmark (TrackEval MotChallenge2DBox MOT20 branch): a tracker

@@ -114,6 +114,27 @@ def test_frame_crop_cap_identical_when_sufficient():
     assert max(kept) <= 1
 
 
+def test_frame_crop_cap_zero_means_uncapped():
+    """frame_crop_cap=0 set directly on the config (bypassing the CLI's
+    0 -> None mapping) must behave as "no cap", NOT top_k(k=0) silently
+    dropping every detection (ADVICE r4)."""
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        crop_hw=(32, 16), frame_crop_cap=0)
+    frames, tlwh, conf, valid = _sequence()
+    ref = TrackingPipeline(TrackerConfig(max_tracks=16, max_dets=8,
+                                         n_init=2, crop_hw=(32, 16)),
+                           _embed_fn, {}, {}, feat_dim=9)
+    ref.run_sequence(frames, tlwh, conf, valid, chunk=4)
+    zero = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    zero.run_sequence(frames, tlwh, conf, valid, chunk=4)
+    for a, b in zip(ref.results, zero.results):
+        np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                      np.asarray(b["valid"]))
+        np.testing.assert_array_equal(np.asarray(a["ids"]),
+                                      np.asarray(b["ids"]))
+    assert any(np.asarray(r["valid"]).any() for r in zero.results)
+
+
 def test_frame_crop_cap_composes_with_crop_budget():
     """Both stages on at once (per-frame cap, then chunk-global embed
     budget) still reproduce the reference outputs when neither binds."""
