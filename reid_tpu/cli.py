@@ -423,6 +423,10 @@ def track_main(argv=None):
                         "e.g. swin 224 112)")
     p.add_argument("--max_frames", type=int, default=0,
                    help="stop after N frames (0 = all)")
+    p.add_argument("--chunk", type=int, default=1,
+                   help="track N frames per device dispatch through the "
+                        "chunked throughput path (make_chunked_tracker); "
+                        "requires --detections. 1 = per-frame step path")
     p.add_argument("--int8", action="store_true",
                    help="serve the ReID embed (and the yolov5 detector "
                         "trunk, when selected) in post-training int8 "
@@ -615,15 +619,35 @@ def track_main(argv=None):
     empty = (np.zeros((cfg.max_dets, 4), np.float32),
              np.zeros(cfg.max_dets, np.float32),
              np.zeros(cfg.max_dets, bool))
-    for f_idx, frame in frame_iter:
-        if dets is not None:
-            tlwh, conf, valid = dets.get(f_idx, empty)
-        else:
-            tlwh, conf, valid = detect(frame)
-        out = pipe.step(f_idx, frame, tlwh, conf, valid)
-        if writer is not None:
-            writer.write(frame, np.asarray(out["tlwh"]),
-                         np.asarray(out["ids"]), np.asarray(out["valid"]))
+    if args.chunk > 1 and dets is not None and writer is None:
+        # chunked throughput path: ceil(T/chunk) device dispatches instead
+        # of one per frame (make_chunked_tracker; the bench's MOT16-load
+        # operating point runs this exact program)
+        items = list(frame_iter)
+        f_ids = [i for i, _ in items]
+        frames_np = np.stack([f for _, f in items])
+        t_total = len(items)
+        tlwh_np = np.zeros((t_total, cfg.max_dets, 4), np.float32)
+        conf_np = np.zeros((t_total, cfg.max_dets), np.float32)
+        valid_np = np.zeros((t_total, cfg.max_dets), bool)
+        for i, f_idx in enumerate(f_ids):
+            tlwh_np[i], conf_np[i], valid_np[i] = dets.get(f_idx, empty)
+        pipe.run_sequence(frames_np, tlwh_np, conf_np, valid_np,
+                          chunk=args.chunk, first_frame=f_ids[0],
+                          frame_crop_cap=args.frame_crop_cap or None)
+    else:
+        if args.chunk > 1:
+            print("--chunk needs --detections (and no --save_vid); "
+                  "falling back to the per-frame path")
+        for f_idx, frame in frame_iter:
+            if dets is not None:
+                tlwh, conf, valid = dets.get(f_idx, empty)
+            else:
+                tlwh, conf, valid = detect(frame)
+            out = pipe.step(f_idx, frame, tlwh, conf, valid)
+            if writer is not None:
+                writer.write(frame, np.asarray(out["tlwh"]),
+                             np.asarray(out["ids"]), np.asarray(out["valid"]))
     if writer is not None:
         writer.close()
         print(f"annotated output -> {args.save_vid}")

@@ -27,12 +27,14 @@ def iter_frames(source: str,
     n = 0
     if os.path.isdir(source):
         paths = sorted(p for p in glob.glob(os.path.join(source, "*"))
-                       if p.lower().endswith(_IMAGE_EXTS))
-        from PIL import Image
-
+                       if p.lower().endswith(_IMAGE_EXTS + (".npy",)))
         for i, p in enumerate(paths, 1):
-            with Image.open(p) as im:
-                yield i, np.asarray(im.convert("RGB"))
+            if p.lower().endswith(".npy"):      # raw uint8 RGB frame dump
+                yield i, np.load(p)
+            else:
+                from PIL import Image
+                with Image.open(p) as im:
+                    yield i, np.asarray(im.convert("RGB"))
             n += 1
             if max_frames and n >= max_frames:
                 return
