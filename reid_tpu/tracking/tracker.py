@@ -291,9 +291,27 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
             return (jnp.where(live[:, None], um, m),
                     jnp.where(live[:, None, None], uc, c))
 
-        omean, ocov = jax.lax.fori_loop(
-            1, cfg.max_age + 2, oru_body,
-            (state.frozen_mean, state.frozen_cov))
+        # Early-exit replay: past the longest reacquired gap every
+        # iteration is a no-op (live=False for all tracks), so a
+        # while_loop bounded by that maximum is bit-identical to the
+        # full fori_loop(1, max_age+2) — and on typical frames (no
+        # reacquisition, or gap 1-2) it runs 0-3 of the ~21 serial
+        # predict+update steps (ref ocsort's per-track virtual-trajectory
+        # replay, VERDICT r4 #3; measured numbers in ROUND_NOTES r5).
+        n_max = jnp.max(jnp.where(reacq, n_steps, 0.0))
+        n_cap = jnp.minimum(n_max, jnp.float32(cfg.max_age + 1))
+
+        def oru_cond(carry):
+            return carry[0] <= n_cap
+
+        def oru_step(carry):
+            i, m, c = carry
+            m, c = oru_body(i, (m, c))
+            return i + 1, m, c
+
+        _, omean, ocov = jax.lax.while_loop(
+            oru_cond, oru_step,
+            (jnp.int32(1), state.frozen_mean, state.frozen_cov))
         mean = jnp.where(reacq[:, None], omean, mean)
         cov = jnp.where(reacq[:, None, None], ocov, cov)
 
