@@ -71,7 +71,7 @@ def estimate_affine(prev: np.ndarray, curr: np.ndarray,
     return out
 
 
-def chunk_affines_translation(prev_last, frames, downscale: int = 2):
+def chunk_affines_translation(prev_last, frames, downscale: int = 0):
     """Device-side batched GMC for a whole chunk: translation-only phase
     correlation between consecutive frames, all T pairs in ONE batched FFT.
 
@@ -82,8 +82,20 @@ def chunk_affines_translation(prev_last, frames, downscale: int = 2):
     the chunked program, so the throughput path gets camera-motion
     compensation at zero host cost (ref track_yolov5.py:229-231 runs GMC
     per frame on the host CPU).
+
+    `downscale=0` picks an auto factor so the FFT plane stays near
+    270x480 regardless of frame size (1080p frames paid ~30% of the
+    MOT16-load frame budget for a 540x960 FFT at the old fixed ds2); the
+    coarser grid costs no precision because the correlation peak is
+    refined to SUBPIXEL accuracy with a separable parabolic fit over its
+    3x3 neighborhood, so the returned translation resolves fractions of a
+    downscaled bin (~1 px at ds4).
     """
     import jax.numpy as jnp
+
+    if downscale <= 0:
+        fh, fw = frames.shape[1], frames.shape[2]
+        downscale = max(2, min(fh // 270, fw // 480))
 
     seq = jnp.concatenate([prev_last[None], frames]).astype(jnp.float32)
     g = seq.mean(axis=-1)[:, ::downscale, ::downscale]
@@ -93,11 +105,32 @@ def chunk_affines_translation(prev_last, frames, downscale: int = 2):
     corr = jnp.fft.irfft2(cross / jnp.maximum(jnp.abs(cross), 1e-9),
                           s=g.shape[-2:])
     t, h, w = corr.shape
-    idx = jnp.argmax(corr.reshape(t, -1), axis=-1)
+    flat = corr.reshape(t, -1)
+    idx = jnp.argmax(flat, axis=-1)
     dy = idx // w
     dx = idx % w
+
+    # separable parabolic subpixel refinement around the peak (wrapped
+    # neighbors — the correlation plane is circular)
+    def at(dyo, dxo):
+        j = ((dy + dyo) % h) * w + (dx + dxo) % w
+        return jnp.take_along_axis(flat, j[:, None], axis=1)[:, 0]
+
+    c0 = at(0, 0)
+    cym, cyp = at(-1, 0), at(1, 0)
+    cxm, cxp = at(0, -1), at(0, 1)
+
+    def sub(cm, cc, cp):
+        denom = cm - 2.0 * cc + cp
+        off = jnp.where(jnp.abs(denom) > 1e-12,
+                        0.5 * (cm - cp) / jnp.where(denom == 0, 1.0, denom),
+                        0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
     dy = jnp.where(dy > h // 2, dy - h, dy).astype(jnp.float32)
     dx = jnp.where(dx > w // 2, dx - w, dx).astype(jnp.float32)
+    dy = dy + sub(cym, c0, cyp)
+    dx = dx + sub(cxm, c0, cxp)
     eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (t, 2, 2))
     trans = jnp.stack([-dx * downscale, -dy * downscale], axis=-1)
     return jnp.concatenate([eye, trans[..., None]], axis=-1)

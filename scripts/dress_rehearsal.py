@@ -202,6 +202,10 @@ def main():
                    help="expected scratch rank-1 range for --check "
                         "(default pinned for --scale 1.0, hard mode, from "
                         "the on-chip 2026-08-18 landing 0.600; see EVAL.md)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="training seed (dataset synthesis stays seed-0 so "
+                        "multi-seed runs measure TRAINER variance — the "
+                        "spread that sizes the --check band, ADVICE r4)")
     p.add_argument("--eval_md", default="EVAL.md")
     p.add_argument("--platform", default="",
                    help="force a jax platform (e.g. 'cpu' for a host-only "
@@ -242,7 +246,7 @@ def main():
             "--root", args.root, "--dataset", "market1501",
             "--bs", str(args.bs), "--epochs", str(args.epochs),
             "--height", str(args.height), "--width", str(args.width),
-            "--export", artifact,
+            "--export", artifact, "--seed", str(args.seed),
         ])
         results["t_train_s"] = round(time.time() - t0, 1)
         results["t_per_epoch_s"] = round(results["t_train_s"] / args.epochs,
