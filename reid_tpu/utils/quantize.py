@@ -44,6 +44,11 @@ from flax import linen as nn
 
 _COLLECTION = "quant_absmax"
 
+# Route eligible 3x3/s1 convs to the Pallas int8 MXU kernel (ops/qconv.py).
+# Default False — measured a net end-to-end LOSS despite per-layer wins
+# (see the comment in _quantized_conv).
+USE_PALLAS_QCONV = False
+
 
 def _path_str(module: nn.Module) -> str:
     return "/".join(str(p) for p in module.path)
@@ -178,6 +183,13 @@ def quantize(model: nn.Module, variables, calib_batches: Sequence[Any],
     return quantize_weights(model, variables, absmax)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _quantized_conv(m: nn.Conv, x, kq, sw, sx):
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127.0, 127.0)
     xq = xq.astype(jnp.int8)
@@ -196,8 +208,30 @@ def _quantized_conv(m: nn.Conv, x, kq, sw, sx):
     i_dil = m.input_dilation if m.input_dilation is not None else (1,) * rank
     if isinstance(i_dil, int):
         i_dil = (i_dil,) * rank
+
+    pad = _canon_padding(m.padding, rank)
+    if USE_PALLAS_QCONV and _on_tpu():
+        # MEASURED OFF by default (v5e, 2026-08-19): the Pallas int8 conv
+        # (ops/qconv.py) is bit-exact and beats the XLA int8 conv on every
+        # trunk shape in isolation (up to +12%: stage4 2.287 vs 2.604 ms
+        # at b512, 1.44x vs bf16 — scripts/qconv_probe.py), but routed
+        # into the full quantized trunk it LOSES ~12% end-to-end (30.0k
+        # vs 34.0k crops/s b256) — the pallas_call boundary breaks XLA's
+        # dequant+BN+ReLU+requant epilogue fusions, which are worth more
+        # than the MXU win. Kept behind this flag for future jaxlib/
+        # Mosaic revisits (or a fused-epilogue kernel that outputs int8).
+        from ..ops.qconv import conv3x3_s8, qconv_applicable
+        if qconv_applicable(xq.shape, kq.shape, strides, pad,
+                            m.feature_group_count, i_dil, k_dil):
+            out = conv3x3_s8(
+                xq, kq, (sx * sw).astype(jnp.float32),
+                out_dtype=m.dtype if m.dtype is not None else jnp.float32)
+            if m.use_bias:
+                out = out + m.variables["params"]["bias"].astype(out.dtype)
+            return out
+
     y = jax.lax.conv_general_dilated(
-        xq, kq, strides, _canon_padding(m.padding, rank),
+        xq, kq, strides, pad,
         lhs_dilation=i_dil, rhs_dilation=k_dil, dimension_numbers=dn,
         feature_group_count=m.feature_group_count,
         preferred_element_type=jnp.int32,
