@@ -313,7 +313,8 @@ def bench_tracking_int8(model, variables, chunk=64, max_dets=32):
 
 
 def bench_tracking_multistream(model, variables, n_streams=8, chunk=64,
-                               max_dets=32):
+                               max_dets=32, hw=(480, 640), n_real=16,
+                               max_tracks=64):
     """Aggregate single-chip fps for S independent camera streams vmapped
     through ONE chunk program (tracking/streams.py, mesh=None) with the int8
     embed: the association scan's small per-frame ops batch over the stream
@@ -325,9 +326,9 @@ def bench_tracking_multistream(model, variables, n_streams=8, chunk=64,
                                            make_stream_tracker)
     from reid_tpu.utils.quantize import quantize, quantized_apply
 
-    cfg = TrackerConfig(max_tracks=64, max_dets=max_dets, n_init=2,
+    cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets, n_init=2,
                         crop_hw=(256, 128),
-                        frame_crop_cap=16)  # scripted 16 dets/stream/frame
+                        frame_crop_cap=n_real)  # scripted dets/stream/frame
 
     rng = np.random.default_rng(0)
     mean = np.asarray((0.485, 0.456, 0.406), np.float32)
@@ -348,18 +349,29 @@ def bench_tracking_multistream(model, variables, n_streams=8, chunk=64,
 
     s = n_streams
     run = make_stream_tracker(cfg, embed_fn, cfg.crop_hw, chunk=chunk,
-                              crop_budget=chunk * 16)  # cap via cfg below
-    frames = jax.device_put(
-        rng.integers(0, 255, (s, chunk, 480, 640, 3)).astype(np.uint8))
-    tlwh = np.zeros((s, chunk, max_dets, 4), np.float32)
-    for t in range(chunk):
-        for j in range(16):
-            tlwh[:, t, j] = (20 + 6 * j + t, 50 + 10 * (j % 4), 40, 90)
-    tlwh = jax.device_put(tlwh)
-    conf = jax.device_put(np.full((s, chunk, max_dets), 0.9, np.float32))
-    valid = jax.device_put(np.concatenate(
-        [np.ones((s, chunk, 16), bool), np.zeros((s, chunk, 16), bool)], 2))
-    st = init_stream_states(s, 64, 512 + 751)
+                              crop_budget=chunk * n_real)  # cap via cfg
+    if n_real > 16:
+        # MOT16-load variant: reuse the reference-conditions scene per stream
+        fr, bx, cf, vl = _mot16_scene(rng, chunk, max_dets, n_real, hw)
+        frames = jnp.broadcast_to(fr, (s, *fr.shape))
+        tlwh = jnp.broadcast_to(bx, (s, *bx.shape))
+        conf = jnp.broadcast_to(cf, (s, *cf.shape))
+        valid = jnp.broadcast_to(vl, (s, *vl.shape))
+        frames, tlwh, conf, valid = jax.device_put(
+            (frames, tlwh, conf, valid))
+    else:
+        frames = jax.device_put(
+            rng.integers(0, 255, (s, chunk, *hw, 3)).astype(np.uint8))
+        tlwh = np.zeros((s, chunk, max_dets, 4), np.float32)
+        for t in range(chunk):
+            for j in range(n_real):
+                tlwh[:, t, j] = (20 + 6 * j + t, 50 + 10 * (j % 4), 40, 90)
+        tlwh = jax.device_put(tlwh)
+        conf = jax.device_put(np.full((s, chunk, max_dets), 0.9, np.float32))
+        valid = jax.device_put(np.concatenate(
+            [np.ones((s, chunk, n_real), bool),
+             np.zeros((s, chunk, max_dets - n_real), bool)], 2))
+    st = init_stream_states(s, max_tracks, 512 + 751)
     st, outs = run(variables["params"], variables["batch_stats"], st,
                    frames, tlwh, conf, valid)
     _sync(outs["tlwh"])  # compile
@@ -401,20 +413,33 @@ def _mot16_scene(rng, chunk, max_dets, n_real, hw):
 def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
                               n_real=50, max_tracks=128, hw=(1080, 1920),
                               int8=False, assignment="greedy_rounds",
-                              crop_hw=(256, 128), crop_downsample=1):
+                              crop_hw=(256, 128), crop_downsample=1,
+                              method=None):
     """End-to-end tracking fps at the reference's REAL MOT16 operating
     point: 1920x1080 frames, 50 dets/frame in 64-det capacity, 128 track
     slots, crop budget sized to the true load. The existing headline
     (480x640, 16 dets) stays for continuity; this is the
     reference-conditions number (ref track_yolov5.py:181-199 +
-    TRACKING_EVAL.md)."""
+    TRACKING_EVAL.md).
+
+    `method` selects one of the reference's 5 tracker methods
+    (ref track_yolov5.py:356) via method_config — botsort gets device GMC,
+    ocsort/deepocsort get the ORU/OCR path; None = the default config."""
     from reid_tpu.config import TrackerConfig
     from reid_tpu.tracking.pipeline import make_chunked_tracker
     from reid_tpu.tracking.tracker import init_tracker_state
 
-    cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets, n_init=2,
-                        crop_hw=crop_hw, assignment=assignment,
-                        crop_downsample=crop_downsample)
+    if method is not None:
+        from reid_tpu.tracking.methods import method_config
+        cfg = method_config(method, max_tracks=max_tracks,
+                            max_dets=max_dets, n_init=2, crop_hw=crop_hw,
+                            assignment=assignment,
+                            crop_downsample=crop_downsample)
+    else:
+        cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets,
+                            n_init=2, crop_hw=crop_hw,
+                            assignment=assignment,
+                            crop_downsample=crop_downsample)
     rng = np.random.default_rng(0)
 
     if int8:
@@ -636,6 +661,71 @@ def bench_latency_per_frame(model, variables, max_dets=64, n_real=50,
             float(np.percentile(times, 99)))
 
 
+def bench_latency_chunk_curve(model, variables, chunks=(1, 4, 8, 32),
+                              max_dets=64, n_real=50, max_tracks=128,
+                              hw=(1080, 1920), reps=6):
+    """Latency-vs-throughput curve at the MOT16 operating point
+    (VERDICT r4 #7): device ms/frame of the chunked tracking program for
+    chunk sizes between the per-frame serving point (chunk=1) and the
+    throughput point (chunk=32). A production host serving at chunk=K pays
+    K*ms_per_frame batching delay for the first frame of each chunk;
+    this table states what that trade actually costs on device, free of
+    the dev-relay dispatch RTT (each point is a lax.scan chain of `reps`
+    DEPENDENT chunk executions in ONE dispatch). Ref latency figure to
+    beat: 17 ms/frame (track_yolov5.py:342-344)."""
+    from reid_tpu.config import TrackerConfig
+    from reid_tpu.tracking.pipeline import make_chunked_tracker
+    from reid_tpu.tracking.tracker import init_tracker_state
+
+    cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets, n_init=2,
+                        crop_hw=(256, 128))
+
+    def embed_fn(params, batch_stats, crops):
+        feat, logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops.astype(jnp.bfloat16), train=False)
+        f = jnp.concatenate([feat.astype(jnp.float32),
+                             logits.astype(jnp.float32)], axis=1)
+        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
+                               1e-12)
+
+    rng = np.random.default_rng(0)
+    curve = {}
+    for chunk in chunks:
+        run_chunk = make_chunked_tracker(cfg, embed_fn, cfg.crop_hw, chunk,
+                                         crop_budget=chunk * n_real,
+                                         frame_crop_cap=n_real)
+        frames, tlwh, conf, valid = _mot16_scene(rng, chunk, max_dets,
+                                                 n_real, hw)
+        state = init_tracker_state(max_tracks, 512 + 751)
+
+        @jax.jit
+        def chain(params, batch_stats, st):
+            def body(s, _):
+                # f32 zero derived from the carried state: forces a serial
+                # dependency so XLA cannot hoist the (loop-invariant)
+                # crop+embed out of the scan — f32 x*0 is NOT folded
+                # (NaN semantics), unlike reusing constant inputs verbatim
+                eps = jnp.sum(s.mean[:1, :1]) * 0.0
+                s, outs = run_chunk(params, batch_stats, s, frames,
+                                    tlwh + eps, conf, valid)
+                return s, outs["ids"][0, 0]
+            return jax.lax.scan(body, st, None, length=reps)
+
+        st, ids = chain(variables["params"], variables["batch_stats"],
+                        state)
+        _sync(ids)  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st, ids = chain(variables["params"], variables["batch_stats"],
+                            state)
+            _sync(ids)
+            best = min(best, time.perf_counter() - t0)
+        curve[chunk] = 1000.0 * best / (reps * chunk)
+    return curve
+
+
 def bench_yolo_forward(batch=8, hw=(384, 640), max_candidates=512,
                        max_dets=64):
     """YOLOv5s forward+decode+NMS fps (bf16, batched frames in HBM).
@@ -754,6 +844,21 @@ def main():
         ("yolov5s_detect_fps_640x640_nms300",
          lambda: bench_yolo_forward(hw=(640, 640), max_candidates=1024,
                                     max_dets=300)),
+        # --- per-method MOT16-load matrix (VERDICT r4 #3): botsort pays
+        # for device GMC, ocsort/deepocsort for the ORU/OCR path
+        ("mot_tracking_fps_mot16_load_botsort_gmc",
+         lambda: bench_tracking_mot16_load(model, variables,
+                                           method="botsort")),
+        ("mot_tracking_fps_mot16_load_ocsort",
+         lambda: bench_tracking_mot16_load(model, variables,
+                                           method="ocsort")),
+        ("mot_tracking_fps_mot16_load_deepocsort",
+         lambda: bench_tracking_mot16_load(model, variables,
+                                           method="deepocsort")),
+        ("mot_tracking_fps_mot16_load_multistream8_aggregate",
+         lambda: bench_tracking_multistream(model, variables, chunk=8,
+                                            hw=(1080, 1920), n_real=50,
+                                            max_dets=64, max_tracks=128)),
     ):
         try:
             extra[key] = round(fn(), 1)
@@ -767,6 +872,13 @@ def main():
         extra["mot_tracking_latency_ms_p99"] = round(p99, 2)
     except Exception as e:
         extra["mot_tracking_latency_ms_device"] = f"error: {type(e).__name__}"
+
+    try:
+        curve = bench_latency_chunk_curve(model, variables)
+        for k, ms in curve.items():
+            extra[f"mot16_load_ms_per_frame_chunk{k}"] = round(ms, 3)
+    except Exception as e:
+        extra["mot16_load_ms_per_frame_chunk1"] = f"error: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "mot_tracking_fps_per_chip",
