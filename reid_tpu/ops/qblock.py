@@ -1,0 +1,421 @@
+"""Pallas fused int8 SE-ResNet basic block — the whole residual block in
+ONE kernel, bf16 in / bf16 out.
+
+Why: the per-conv Pallas int8 kernel (ops/qconv.py) beats XLA's int8 conv
+on every trunk shape in isolation, but routed per-layer it LOSES ~12%
+end-to-end because each `pallas_call` boundary breaks XLA's
+dequant+BN+ReLU+requant epilogue fusions and forces an inter-layer HBM
+round trip (ROUND_NOTES r5, measured 2026-08-19). The fix recorded there
+is this kernel: fuse the ENTIRE block so the only HBM traffic is one bf16
+read of the block input and one bf16 write of the block output.
+
+Per grid step (an `img_block`-image slab resident in VMEM):
+
+    xq   = clip(round(x / sx1))                       # in-kernel quantize
+    a1   = conv3x3(xq, W1q)                           # 9 shifted s8s8->s32
+    h    = relu(a1 * A1 + C1)                         # BN1 folded affine
+    hq   = clip(round(h / sx2))                       #   (or IBN-a, below)
+    a2   = conv3x3(hq, W2q)
+    y    = a2 * A2 + C2                               # BN2 folded affine
+    g    = sigmoid(fc2(relu(fc1(mean_img(y)))))       # SE gate, per image
+    r    = x                    (identity)            # or 1x1 int8 down:
+           clip(round(x / sxd)) @ Wdq * Ad + Cd       #   conv + BN affine
+    out  = relu(y * g + r)                            # one bf16 write
+
+The per-image SE pooling and gate broadcast are indicator MATMULS on the
+flattened row axis (B[r, i] = [r // hw == i]), so no in-kernel reshapes;
+the conv taps reuse qconv.py's roll+mask formulation (dot first, roll the
+s32 partial product). BatchNorm (inference) is pre-folded to a
+per-channel affine a = scale*rsqrt(var+eps), c = bias - mean*a; for the
+plain-BN block the int8 dequant scales fold into the same vectors, so
+each epilogue is one fused multiply-add on the s32 accumulator.
+
+`ibn=True` covers the stage-2/3 stride-1 blocks (IBN-a, ref
+SERes18_IBN.py:67-93): conv1's epilogue is InstanceNorm on the first
+half of the channels + BatchNorm on the rest. Per-image IN stats are the
+same indicator matmul as the SE pooling, computed full-width and selected
+by a channel mask — no lane-dim slicing (the 128-channel blocks' half
+point, 64, is not lane-aligned).
+
+Covers all four stride-1 SE blocks of SERes18/CARes18/EMARes18
+(block22/32 ibn, block41 down, block42 identity; ref
+SERes18_IBN.py:96-128, stage-4 stride 1 at :223 — stride 1 is what makes
+both convs row-roll-eligible).
+
+Numerics: integer accumulation is exact (same s8s8->s32 math as the
+unfused path); epilogues run in f32 where the unfused path bounces
+through bf16 between layers, so outputs agree to bf16 tolerance (tested)
+and are — if anything — slightly MORE precise than the unfused path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TAPS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+class QBlockParams(NamedTuple):
+    """Folded parameters of one fused block (all device arrays).
+
+    Plain-BN block (ibn=False): (a1, c1) is the conv1 epilogue with the
+    dequant scale folded in — A1 = bn1_a * sx1 * sw1, C1 = bn1_c — and
+    likewise (a2, c2), (ad, cd). IBN block (ibn=True): conv1's dequant
+    vector sx1*sw1 arrives separately as `dq1_vec` (the IN half needs
+    dequantized values before its per-image stats), (a1, c1) is bn1's
+    UNFOLDED BatchNorm affine zero-padded over the IN half, and
+    (in_scale, in_bias) is the IN affine zero-padded over the BN half.
+    """
+    w1: jnp.ndarray          # (9, cin, cout) int8
+    w2: jnp.ndarray          # (9, cout, cout) int8
+    a1: jnp.ndarray          # (cout,) f32
+    c1: jnp.ndarray          # (cout,) f32
+    a2: jnp.ndarray          # (cout,) f32 folded
+    c2: jnp.ndarray          # (cout,) f32
+    inv_sx1: jnp.ndarray     # () f32  1/act_scale of conv1
+    inv_sx2: jnp.ndarray     # () f32  1/act_scale of conv2
+    wfc1: jnp.ndarray        # (cout, mip) bf16 — SE squeeze
+    wfc2: jnp.ndarray        # (mip, cout) bf16 — SE excite
+    wd: Optional[jnp.ndarray] = None       # (cin, cout) int8 1x1 down conv
+    ad: Optional[jnp.ndarray] = None       # (cout,) f32 folded
+    cd: Optional[jnp.ndarray] = None       # (cout,) f32
+    inv_sxd: Optional[jnp.ndarray] = None  # () f32
+    dq1_vec: Optional[jnp.ndarray] = None  # (cout,) f32 sx1*sw1 (ibn only)
+    in_scale: Optional[jnp.ndarray] = None  # (cout,) f32 (ibn only)
+    in_bias: Optional[jnp.ndarray] = None   # (cout,) f32 (ibn only)
+
+
+def fold_bn(scale, bias, mean, var, eps=1e-5):
+    """Inference BatchNorm -> per-channel affine (a, c): y = a*x + c."""
+    a = np.asarray(scale, np.float32) / np.sqrt(
+        np.asarray(var, np.float32) + eps)
+    c = np.asarray(bias, np.float32) - np.asarray(mean, np.float32) * a
+    return a, c
+
+
+def _imask(rows, nimg, hw):
+    """Indicator B[r, i] = (r // hw == i), f32 — per-image pooling /
+    broadcast as matmuls (no in-kernel reshapes)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, nimg), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (rows, nimg), 1)
+    return (r // hw == i).astype(jnp.float32)
+
+
+def _row_masks(nimg, h, w):
+    rows = nimg * h * w
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    hi = (r // w) % h
+    wi = r % w
+    masks = []
+    for dy, dx in _TAPS:
+        ok_h = (hi + dy >= 0) & (hi + dy < h)
+        ok_w = (wi + dx >= 0) & (wi + dx < w)
+        masks.append(ok_h & ok_w)
+    return masks
+
+
+def _quant(x, inv_s):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv_s),
+                    -127.0, 127.0).astype(jnp.int8)
+
+
+def _conv_taps(xq, w_ref, masks, rows, w):
+    """9 shifted s8xs8->s32 dots (qconv.py roll formulation)."""
+    acc = None
+    for t, (dy, dx) in enumerate(_TAPS):
+        p = jax.lax.dot_general(
+            xq, w_ref[t], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        shift = (-(dy * w + dx)) % rows
+        if shift:
+            p = pltpu.roll(p, shift, 0)
+        p = jnp.where(masks[t], p, 0)
+        acc = p if acc is None else acc + p
+    return acc
+
+
+def _per_image(B, v, precision=None):
+    """(nimg, c) per-image mean of rows v (hw baked into caller).
+
+    `precision` is plumbed for experiments; the oracle uses the DEFAULT
+    on purpose (see the comment in qblock_reference)."""
+    return jax.lax.dot_general(B, v, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
+
+def _rows_of(B, per_img, precision=None):
+    """Broadcast (nimg, c) back to rows."""
+    return jax.lax.dot_general(B, per_img, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
+
+def _se_gate(y, B, hw, wfc1_ref, wfc2_ref):
+    """SE gate rows: sigmoid(fc2(relu(fc1(mean_img(y))))) broadcast back.
+
+    Matches models/layers.py SEBlock: GAP in f32, fc1/fc2 in bf16 (no
+    bias), sigmoid."""
+    pooled = _per_image(B, y) / hw                       # (nimg, cout)
+    s = jax.lax.dot_general(
+        pooled.astype(jnp.bfloat16), wfc1_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    s = jnp.maximum(s, 0)
+    s = jax.lax.dot_general(
+        s, wfc2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gate = jax.nn.sigmoid(s)                             # (nimg, cout) f32
+    return _rows_of(B, gate)                             # (rows, cout)
+
+
+def _qblock_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, sc_ref,
+                   wfc1_ref, wfc2_ref, *rest,
+                   nimg, h, w, down, ibn, cin_half):
+    extra_refs, out_ref = rest[:-1], rest[-1]
+    rows = nimg * h * w
+    hw = h * w
+    masks = _row_masks(nimg, h, w)
+    B = _imask(rows, nimg, hw)
+    x = x_ref[:]                                        # (rows, cin) bf16
+    inv_sx1 = sc_ref[0, 0]
+    inv_sx2 = sc_ref[0, 1]
+
+    # conv1 + (BN | IBN-a) + ReLU + requant
+    xq = _quant(x, inv_sx1)
+    acc1 = _conv_taps(xq, w1_ref, masks, rows, w)       # (rows, cout) s32
+    if ibn:
+        dq1_ref, ins_ref, inb_ref = extra_refs[-3:]
+        y1 = acc1.astype(jnp.float32) * dq1_ref[:]      # dequant, f32
+        # per-image stats, full width; IN half selected by channel mask
+        mean = _per_image(B, y1) / hw                   # (nimg, cout)
+        sq = _per_image(B, y1 * y1) / hw
+        var = jnp.maximum(sq - mean * mean, 0.0)
+        mean_r = _rows_of(B, mean)
+        rstd_r = _rows_of(B, jax.lax.rsqrt(var + 1e-5))
+        y_in = (y1 - mean_r) * rstd_r * ins_ref[:] + inb_ref[:]
+        y_bn = y1 * v1_ref[0:1, :] + v1_ref[1:2, :]
+        ch = jax.lax.broadcasted_iota(jnp.int32, (1, y1.shape[-1]), 1)
+        h1 = jnp.maximum(jnp.where(ch < cin_half, y_in, y_bn), 0.0)
+    else:
+        h1 = jnp.maximum(
+            acc1.astype(jnp.float32) * v1_ref[0:1, :] + v1_ref[1:2, :], 0.0)
+
+    # conv2 + BN
+    hq = _quant(h1, inv_sx2)
+    acc2 = _conv_taps(hq, w2_ref, masks, rows, w)
+    y2 = acc2.astype(jnp.float32) * v2_ref[0:1, :] + v2_ref[1:2, :]
+
+    # SE gate
+    gate_rows = _se_gate(y2, B, hw, wfc1_ref, wfc2_ref)
+
+    # residual branch
+    if down:
+        wd_ref, vd_ref = extra_refs[0], extra_refs[1]
+        inv_sxd = sc_ref[0, 2]
+        xqd = _quant(x, inv_sxd)
+        accd = jax.lax.dot_general(
+            xqd, wd_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        branch = accd.astype(jnp.float32) * vd_ref[0:1, :] + vd_ref[1:2, :]
+    else:
+        branch = x.astype(jnp.float32)
+
+    out = jnp.maximum(y2 * gate_rows + branch, 0.0)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def se_basic_block_s8(x: jnp.ndarray, p: QBlockParams,
+                      img_block: int = 0, out_dtype=jnp.bfloat16,
+                      ibn: bool = False,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused int8 SE basic block (stride 1): bf16 (B,H,W,Cin) -> (B,H,W,Cout).
+
+    `p.wd is not None` selects the 1x1-int8-conv residual branch
+    (block41-style downsample at stride 1); otherwise Cin must equal Cout
+    and the identity branch is used. `ibn=True` applies IBN-a after conv1
+    (InstanceNorm on the first half of the channels, stats per image).
+    """
+    b, h, w, cin = x.shape
+    cout = p.w2.shape[-1]
+    down = p.wd is not None
+    if not down:
+        assert cin == cout, (cin, cout)
+    mip = p.wfc1.shape[-1]
+    assert p.w1.shape == (9, cin, cout), p.w1.shape
+    assert p.w2.shape == (9, cout, cout), p.w2.shape
+
+    if img_block <= 0:
+        # resident weights + per-image activation slabs <= ~10 MB
+        w_bytes = (9 * cin * cout + 9 * cout * cout
+                   + (cin * cout if down else 0)
+                   + 2 * cout * mip * 2)
+        per_img = h * w * (2 * cin + cin + 12 * cout + 4 * cout + 2 * cout)
+        img_block = max(1, min(b, int(10e6 - w_bytes) // per_img))
+        while b % img_block:
+            img_block -= 1
+    assert b % img_block == 0, (b, img_block)
+    rows_blk = img_block * h * w
+
+    x2d = x.reshape(b * h * w, cin)
+    v1 = jnp.stack([p.a1, p.c1]).astype(jnp.float32)        # (2, cout)
+    v2 = jnp.stack([p.a2, p.c2]).astype(jnp.float32)
+    scalars = jnp.stack(
+        [p.inv_sx1.astype(jnp.float32), p.inv_sx2.astype(jnp.float32),
+         (p.inv_sxd if down else p.inv_sx1).astype(jnp.float32),
+         jnp.float32(0)]).reshape(1, 4)
+
+    in_specs = [
+        pl.BlockSpec((rows_blk, cin), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, cout, cout), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((cout, mip), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mip, cout), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x2d, p.w1, p.w2, v1, v2, scalars,
+                p.wfc1.astype(jnp.bfloat16), p.wfc2.astype(jnp.bfloat16)]
+    if down:
+        in_specs.append(pl.BlockSpec((cin, cout), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((2, cout), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(p.wd)
+        operands.append(jnp.stack([p.ad, p.cd]).astype(jnp.float32))
+    cin_half = cout // 2
+    if ibn:
+        assert p.dq1_vec is not None and p.in_scale is not None
+        for vec in (p.dq1_vec, p.in_scale, p.in_bias):
+            in_specs.append(pl.BlockSpec((1, cout), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(vec.reshape(1, cout).astype(jnp.float32))
+
+    kernel = functools.partial(_qblock_kernel, nimg=img_block, h=h, w=w,
+                               down=down, ibn=ibn, cin_half=cin_half)
+    flops = 2 * b * h * w * 9 * cout * (cin + cout)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // img_block,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows_blk, cout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h * w, cout), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=b * h * w * (2 * cin + 2 * cout)
+            + 9 * cin * cout + 9 * cout * cout,
+            transcendentals=b * cout,  # sigmoid per image-channel
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(b, h, w, cout)
+
+
+def qblock_reference(x, p: QBlockParams, ibn: bool = False,
+                     int8_conv: Optional[bool] = None):
+    """XLA oracle replicating the kernel's math op-for-op (f32 epilogues,
+    integer taps) — for exactness tests and the on-chip probe.
+
+    `int8_conv=None` auto-selects: the true int8 conv on TPU, an f32 conv
+    of integer-valued inputs on CPU (XLA:CPU's int8 conv lowering is
+    pathologically slow; f32 accumulation is exact while |acc| < 2^24,
+    which holds for every test shape).
+
+    Per-image reductions (SE pooling, IN stats) use the kernel's exact
+    indicator-matmul formulation rather than `jnp.mean` — a different f32
+    summation order perturbs the SE gate by ulps, which |y2| and the
+    requant tie-rounding amplify into spuriously large output deltas."""
+    if int8_conv is None:
+        int8_conv = jax.default_backend() not in ("cpu",)
+    b, h, w, cin = x.shape
+    cout = p.w2.shape[-1]
+    cin_half = cout // 2
+    hw = h * w
+    B = _imask(b * hw, b, hw)
+    # DEFAULT precision, deliberately: Mosaic's in-kernel f32 dot is the
+    # same one-pass-bf16 MXU pass as XLA's default (measured on chip: a
+    # HIGHEST-precision oracle DIVERGES from the kernel at SE-gate
+    # saturation boundaries with unnormalized random params, while the
+    # default-precision oracle agrees except for O(1e-6) relu-crossing
+    # outliers). Real calibrated nets have O(1) gate logits where the
+    # bf16 pooling pass is far inside quality noise — the module-parity
+    # tests bound that end to end.
+
+    def per_image(v):                      # rows-mean -> (b, c) like kernel
+        return _per_image(B, v.reshape(b * hw, -1)) / hw
+
+    def rows_of(v):                        # (b, c) -> (b, h, w, c)
+        return _rows_of(B, v).reshape(b, h, w, -1)
+
+    def conv(xq, w9, ci):
+        k = w9.reshape(3, 3, ci, cout)
+        if not int8_conv:
+            xq, k = xq.astype(jnp.float32), k.astype(jnp.float32)
+        dn = jax.lax.conv_dimension_numbers(xq.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            xq, k, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=None if not int8_conv else jnp.int32)
+        return y.astype(jnp.float32)
+
+    def quant(v, inv_s):
+        return jnp.clip(jnp.round(v.astype(jnp.float32) * inv_s),
+                        -127., 127.).astype(jnp.int8)
+
+    xq = quant(x, p.inv_sx1)
+    acc1 = conv(xq, p.w1, cin)
+    if ibn:
+        y1 = acc1 * p.dq1_vec
+        mean = per_image(y1)
+        sq = per_image(y1 * y1)
+        var = jnp.maximum(sq - mean * mean, 0.0)
+        mean_r = rows_of(mean)
+        rstd_r = rows_of(jax.lax.rsqrt(var + 1e-5))
+        y_in = (y1 - mean_r) * rstd_r * p.in_scale + p.in_bias
+        y_bn = y1 * p.a1 + p.c1
+        ch = jnp.arange(cout)[None, None, None, :]
+        h1 = jnp.maximum(jnp.where(ch < cin_half, y_in, y_bn), 0.0)
+    else:
+        h1 = jnp.maximum(acc1 * p.a1 + p.c1, 0.0)
+    hq = quant(h1, p.inv_sx2)
+    acc2 = conv(hq, p.w2, cout)
+    y2 = acc2 * p.a2 + p.c2
+    pooled = per_image(y2)
+    s = jax.lax.dot_general(
+        pooled.astype(jnp.bfloat16), p.wfc1.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    s = jnp.maximum(s, 0)
+    gate = jax.nn.sigmoid(jax.lax.dot_general(
+        s, p.wfc2.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    if p.wd is not None:
+        xqd = quant(x, p.inv_sxd)
+        if int8_conv:
+            accd = jax.lax.dot_general(
+                xqd, p.wd, (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            # f32 matmul of integer values is exact on CPU but runs as
+            # one-pass bf16 on the TPU MXU (round-3 finding) — the int8
+            # path above is the on-chip oracle.
+            accd = jnp.einsum("bhwc,cd->bhwd", xqd.astype(jnp.float32),
+                              p.wd.astype(jnp.float32))
+        branch = accd * p.ad + p.cd
+    else:
+        branch = x.astype(jnp.float32)
+    return jnp.maximum(y2 * gate[:, None, None, :] + branch, 0.0)

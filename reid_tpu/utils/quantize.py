@@ -49,6 +49,13 @@ _COLLECTION = "quant_absmax"
 # (see the comment in _quantized_conv).
 USE_PALLAS_QCONV = False
 
+# Route eligible stride-1 SE basic blocks to the FUSED Pallas block kernel
+# (ops/qblock.py): both convs + BN/IBN + SE + residual in one kernel, so
+# no per-conv pallas_call boundary breaks XLA's epilogue fusions (the
+# failure mode that keeps USE_PALLAS_QCONV off). Measured on/off per
+# scripts/qblock_probe.py; see ROUND_NOTES r5.
+USE_PALLAS_QBLOCK = False
+
 
 def _path_str(module: nn.Module) -> str:
     return "/".join(str(p) for p in module.path)
@@ -255,12 +262,118 @@ def _quantized_dense(m: nn.Dense, x, kq, sw, sx):
     return out.astype(m.dtype) if m.dtype is not None else out
 
 
+def make_qblock_params(variables, qstate: QuantState, prefix: str,
+                       planes: int, ibn: bool, downsample: bool):
+    """Fold one SEBasicBlock's variables + quantization state into the
+    fused kernel's `QBlockParams` (ops/qblock.py).
+
+    `prefix` is the block's module path ("" for a directly-applied block,
+    "block41/" inside the full model). BN affines fold with the conv
+    dequant scales per the QBlockParams contract; the IBN flavor keeps
+    conv1's dequant vector separate and zero-pads the two half-affines to
+    full width (the kernel selects by channel mask)."""
+    from ..ops.qblock import QBlockParams, fold_bn
+
+    def node(tree, rel):
+        for part in (prefix + rel).strip("/").split("/"):
+            tree = tree[part]
+        return tree
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    k1 = qstate.kernels[prefix + "conv1"]
+    k2 = qstate.kernels[prefix + "conv2"]
+    cin, cout = k1.shape[2], k1.shape[3]
+    dq1 = (qstate.act_scales[prefix + "conv1"]
+           * qstate.w_scales[prefix + "conv1"])           # (cout,)
+    dq2 = (qstate.act_scales[prefix + "conv2"]
+           * qstate.w_scales[prefix + "conv2"])
+
+    kw = {}
+    if ibn:
+        half = cout // 2
+        bn_p = node(params, "bn1/BN")
+        bn_s = node(stats, "bn1/BN")
+        a_bn, c_bn = fold_bn(bn_p["scale"], bn_p["bias"],
+                             bn_s["mean"], bn_s["var"])
+        in_p = node(params, "bn1/IN")
+        pad = jnp.zeros((half,), jnp.float32)
+        kw.update(
+            a1=jnp.concatenate([pad, jnp.asarray(a_bn, jnp.float32)]),
+            c1=jnp.concatenate([pad, jnp.asarray(c_bn, jnp.float32)]),
+            dq1_vec=dq1 * jnp.ones((cout,), jnp.float32),
+            in_scale=jnp.concatenate(
+                [jnp.asarray(in_p["scale"], jnp.float32), pad]),
+            in_bias=jnp.concatenate(
+                [jnp.asarray(in_p["bias"], jnp.float32), pad]),
+        )
+    else:
+        bn_p, bn_s = node(params, "bn1"), node(stats, "bn1")
+        a1, c1 = fold_bn(bn_p["scale"], bn_p["bias"],
+                         bn_s["mean"], bn_s["var"])
+        kw.update(a1=jnp.asarray(a1) * dq1, c1=jnp.asarray(c1))
+
+    bn2_p, bn2_s = node(params, "bn2"), node(stats, "bn2")
+    a2, c2 = fold_bn(bn2_p["scale"], bn2_p["bias"],
+                     bn2_s["mean"], bn2_s["var"])
+    if downsample:
+        kd = qstate.kernels[prefix + "down_conv"]
+        dqd = (qstate.act_scales[prefix + "down_conv"]
+               * qstate.w_scales[prefix + "down_conv"])
+        bnd_p, bnd_s = node(params, "down_bn"), node(stats, "down_bn")
+        ad, cd = fold_bn(bnd_p["scale"], bnd_p["bias"],
+                         bnd_s["mean"], bnd_s["var"])
+        kw.update(wd=kd.reshape(cin, cout), ad=jnp.asarray(ad) * dqd,
+                  cd=jnp.asarray(cd),
+                  inv_sxd=1.0 / qstate.act_scales[prefix + "down_conv"])
+
+    se = node(params, "seblock")
+    return QBlockParams(
+        w1=k1.reshape(9, cin, cout), w2=k2.reshape(9, cout, cout),
+        a2=jnp.asarray(a2) * dq2, c2=jnp.asarray(c2),
+        inv_sx1=1.0 / qstate.act_scales[prefix + "conv1"],
+        inv_sx2=1.0 / qstate.act_scales[prefix + "conv2"],
+        wfc1=se["fc1"]["kernel"].astype(jnp.bfloat16),
+        wfc2=se["fc2"]["kernel"].astype(jnp.bfloat16),
+        **kw)
+
+
+def _qblock_route(m: nn.Module, args, kwargs, qstate: QuantState):
+    """Try the fused block kernel for this module call; None = not
+    applicable (caller falls through to per-layer interception)."""
+    if type(m).__name__ != "SEBasicBlock" or not _on_tpu():
+        return None
+    train = kwargs.get("train", args[1] if len(args) > 1 else True)
+    if train is not False:
+        return None
+    if m.strides != 1 or m.attention != "se" or m.renorm:
+        return None
+    x = args[0]
+    cin, cout = x.shape[-1], m.planes
+    if x.ndim != 4 or cin % 128 or cout % 128:
+        return None
+    path = _path_str(m)
+    prefix = path + "/" if path else ""
+    for rel in ("conv1", "conv2") + (("down_conv",) if m.downsample else ()):
+        if prefix + rel not in qstate.kernels:
+            return None
+    from ..ops.qblock import se_basic_block_s8
+    p = make_qblock_params(m.variables, qstate, prefix, m.planes,
+                           ibn=m.ibn, downsample=m.downsample)
+    out_dtype = m.dtype if m.dtype is not None else jnp.float32
+    return se_basic_block_s8(x, p, ibn=m.ibn, out_dtype=out_dtype)
+
+
 def quantization_interceptor(qstate: QuantState):
     """Linen method interceptor executing calibrated Conv/Dense in int8."""
     kernels, w_scales, act_scales = (qstate.kernels, qstate.w_scales,
                                      qstate.act_scales)
 
     def interceptor(next_fun, args, kwargs, ctx):
+        if (USE_PALLAS_QBLOCK and ctx.method_name == "__call__"):
+            out = _qblock_route(ctx.module, args, kwargs, qstate)
+            if out is not None:
+                return out
         if _is_quantizable(ctx.module) and ctx.method_name == "__call__":
             path = _path_str(ctx.module)
             if path in kernels:
