@@ -414,7 +414,7 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
                               n_real=50, max_tracks=128, hw=(1080, 1920),
                               int8=False, assignment="greedy_rounds",
                               crop_hw=(256, 128), crop_downsample=1,
-                              method=None):
+                              method=None, embed_in_dtype="float32"):
     """End-to-end tracking fps at the reference's REAL MOT16 operating
     point: 1920x1080 frames, 50 dets/frame in 64-det capacity, 128 track
     slots, crop budget sized to the true load. The existing headline
@@ -434,12 +434,14 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
         cfg = method_config(method, max_tracks=max_tracks,
                             max_dets=max_dets, n_init=2, crop_hw=crop_hw,
                             assignment=assignment,
-                            crop_downsample=crop_downsample)
+                            crop_downsample=crop_downsample,
+                            embed_in_dtype=embed_in_dtype)
     else:
         cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets,
                             n_init=2, crop_hw=crop_hw,
                             assignment=assignment,
-                            crop_downsample=crop_downsample)
+                            crop_downsample=crop_downsample,
+                            embed_in_dtype=embed_in_dtype)
     rng = np.random.default_rng(0)
 
     if int8:

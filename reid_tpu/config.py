@@ -166,6 +166,15 @@ class TrackerConfig:
                                        # (near-lossless, oversampled
                                        # regime — pool+bilinear is not
                                        # bit-identical to full-res crops)
+    embed_in_dtype: str = "float32"    # dtype of the crop->embed handoff
+                                       # (the (T*cap, ch, cw, 3) normalized
+                                       # crops tensor). "bfloat16" halves
+                                       # the HBM write+read between the crop
+                                       # einsum and the backbone's first
+                                       # conv; bit-identical downstream when
+                                       # the embed model itself computes in
+                                       # bf16 (its first op casts anyway).
+                                       # Keep "float32" for f32 embed models.
     frame_crop_cap: Optional[int] = None  # crop/embed only the top-cap
                                        # valid-by-confidence boxes per frame
                                        # (det SLOTS can exceed the affordable

@@ -100,7 +100,8 @@ def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
 
 def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
                     max_dets: int, crop_downsample: int = 1,
-                    frame_crop_cap: Optional[int] = None):
+                    frame_crop_cap: Optional[int] = None,
+                    embed_in_dtype: str = "float32"):
     """Returns jit fn(frame (H,W,3) uint8, tlwh (D,4), conf (D,),
     valid (D,)) -> (feats (D, F), valid (D,)).
 
@@ -115,10 +116,16 @@ def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
     cap: a 300-det-slot serve with ~20 people pays for 20-ish crops, not
     300); dropped slots come back with valid=False and zero features.
     cap >= #valid is output-identical to the uncapped path.
+
+    `embed_in_dtype="bfloat16"` hands the normalized crops to `embed_fn`
+    in bf16 (bit-identical downstream when the embed model computes in
+    bf16 — its first op casts anyway — while halving the handoff's HBM
+    traffic).
     """
     ch, cw = crop_hw
     mean = jnp.asarray((0.485, 0.456, 0.406))
     std = jnp.asarray((0.229, 0.224, 0.225))
+    handoff = jnp.dtype(embed_in_dtype)
     if frame_crop_cap is not None and frame_crop_cap <= 0:
         # cap=0 would top_k(k=0) and silently drop EVERY detection; treat
         # non-positive caps as "no cap" (the CLI already maps 0 -> None)
@@ -140,7 +147,7 @@ def make_crop_embed(embed_fn: Callable, crop_hw: Tuple[int, int],
             boxes = tlwh
         crops = crop_resize_bilinear(img, boxes, ch, cw,
                                      downsample=crop_downsample)
-        crops = (crops - mean) / std
+        crops = ((crops - mean) / std).astype(handoff)
         feats_c = embed_fn(params, batch_stats, crops)       # (cap, F)
         if cap < max_dets:
             feats = jnp.zeros((max_dets, feats_c.shape[1]),
@@ -195,6 +202,7 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
     ch, cw = crop_hw
     mean = jnp.asarray((0.485, 0.456, 0.406))
     std = jnp.asarray((0.229, 0.224, 0.225))
+    handoff = jnp.dtype(getattr(cfg, "embed_in_dtype", "float32"))
 
     @jax.jit
     def run_chunk(params, batch_stats, state, frames, tlwh, conf, valid,
@@ -228,7 +236,7 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
                 img, boxes, ch, cw,
                 downsample=getattr(cfg, "crop_downsample", 1))
         )(imgs, boxes_c)                                   # (T, cap, ...)
-        crops = (crops - mean) / std
+        crops = ((crops - mean) / std).astype(handoff)
         crops = crops.reshape(t * cap, ch, cw, 3)
         # original slot id of each cropped row, for the feature scatter
         flat_slots = (jnp.arange(t)[:, None] * d + sel_f).reshape(t * cap)
@@ -289,7 +297,8 @@ class TrackingPipeline:
         self.crop_embed = make_crop_embed(
             embed_fn, cfg.crop_hw, cfg.max_dets,
             crop_downsample=getattr(cfg, "crop_downsample", 1),
-            frame_crop_cap=getattr(cfg, "frame_crop_cap", None))
+            frame_crop_cap=getattr(cfg, "frame_crop_cap", None),
+            embed_in_dtype=getattr(cfg, "embed_in_dtype", "float32"))
         self.params = params
         self.batch_stats = batch_stats
         self.results: List[dict] = []

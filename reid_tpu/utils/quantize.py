@@ -268,14 +268,16 @@ def make_qblock_params(variables, qstate: QuantState, prefix: str,
     fused kernel's `QBlockParams` (ops/qblock.py).
 
     `prefix` is the block's module path ("" for a directly-applied block,
-    "block41/" inside the full model). BN affines fold with the conv
-    dequant scales per the QBlockParams contract; the IBN flavor keeps
-    conv1's dequant vector separate and zero-pads the two half-affines to
-    full width (the kernel selects by channel mask)."""
+    "block41/" inside the full model). It scopes the `qstate` lookups only:
+    `variables` must already be the BLOCK's own tree (a bound module's
+    `.variables` inside an interceptor is block-scoped). BN affines fold
+    with the conv dequant scales per the QBlockParams contract; the IBN
+    flavor keeps conv1's dequant vector separate and zero-pads the two
+    half-affines to full width (the kernel selects by channel mask)."""
     from ..ops.qblock import QBlockParams, fold_bn
 
     def node(tree, rel):
-        for part in (prefix + rel).strip("/").split("/"):
+        for part in rel.strip("/").split("/"):
             tree = tree[part]
         return tree
 

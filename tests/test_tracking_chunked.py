@@ -114,6 +114,35 @@ def test_frame_crop_cap_identical_when_sufficient():
     assert max(kept) <= 1
 
 
+def test_bf16_handoff_identical_for_bf16_embed():
+    """embed_in_dtype="bfloat16" is bit-identical to the float32 handoff
+    when the embed model itself computes in bf16 (its first op casts the
+    crops anyway — the knob only moves WHERE the cast happens)."""
+    def bf16_embed(params, batch_stats, crops):
+        m = jnp.mean(crops.astype(jnp.bfloat16), axis=(1, 2))
+        return jnp.concatenate(
+            [m, m * 2.0, m * 0.5], axis=1).astype(jnp.float32)
+
+    frames, tlwh, conf, valid = _sequence()
+    base = dict(max_tracks=16, max_dets=8, n_init=2, crop_hw=(32, 16))
+
+    ref = TrackingPipeline(TrackerConfig(**base), bf16_embed, {}, {},
+                           feat_dim=9)
+    ref.run_sequence(frames, tlwh, conf, valid, chunk=4)
+
+    cfg16 = TrackerConfig(**base, embed_in_dtype="bfloat16")
+    fast = TrackingPipeline(cfg16, bf16_embed, {}, {}, feat_dim=9)
+    fast.run_sequence(frames, tlwh, conf, valid, chunk=4)
+
+    for a, b in zip(ref.results, fast.results):
+        np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                      np.asarray(b["valid"]))
+        np.testing.assert_array_equal(np.asarray(a["ids"]),
+                                      np.asarray(b["ids"]))
+        np.testing.assert_array_equal(np.asarray(a["tlwh"]),
+                                      np.asarray(b["tlwh"]))
+
+
 def test_frame_crop_cap_zero_means_uncapped():
     """frame_crop_cap=0 set directly on the config (bypassing the CLI's
     0 -> None mapping) must behave as "no cap", NOT top_k(k=0) silently
