@@ -93,10 +93,13 @@ class QBlockParams(NamedTuple):
 
 
 def fold_bn(scale, bias, mean, var, eps=1e-5):
-    """Inference BatchNorm -> per-channel affine (a, c): y = a*x + c."""
-    a = np.asarray(scale, np.float32) / np.sqrt(
-        np.asarray(var, np.float32) + eps)
-    c = np.asarray(bias, np.float32) - np.asarray(mean, np.float32) * a
+    """Inference BatchNorm -> per-channel affine (a, c): y = a*x + c.
+
+    jnp (not numpy): `make_qblock_params` runs inside the traced serving
+    step via the interceptor, where BN params are tracers."""
+    a = jnp.asarray(scale, jnp.float32) / jnp.sqrt(
+        jnp.asarray(var, jnp.float32) + eps)
+    c = jnp.asarray(bias, jnp.float32) - jnp.asarray(mean, jnp.float32) * a
     return a, c
 
 

@@ -139,3 +139,33 @@ def test_qblock_module_parity_ibn_down():
         np.testing.assert_allclose(
             np.asarray(y_fused), np.asarray(y_unfused, np.float32),
             rtol=0.1, atol=0.05, err_msg=f"ibn={ibn} down={down}")
+
+
+def test_qblock_params_traceable_under_jit():
+    """make_qblock_params must build from TRACED variables: the interceptor
+    calls it inside the jitted serving step, where BN params are tracers
+    (regression: fold_bn used host numpy and raised
+    TracerArrayConversionError on the first jit'd quantized apply)."""
+    from reid_tpu.models.seres18 import SEBasicBlock
+    from reid_tpu.utils.quantize import make_qblock_params, quantize
+
+    rng = np.random.default_rng(17)
+    block = SEBasicBlock(planes=8, strides=1, ibn=True, downsample=False,
+                         dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)), jnp.bfloat16)
+    variables = block.init(jax.random.PRNGKey(2), x, train=True)
+    qs = quantize(block, variables, [x], train=False)
+
+    @jax.jit
+    def fold(v):
+        p = make_qblock_params(v, qs, prefix="", planes=8,
+                               ibn=True, downsample=False)
+        return p.a2, p.c2
+
+    a2, c2 = fold(variables)   # must trace, not raise
+    p_host = make_qblock_params(variables, qs, prefix="", planes=8,
+                                ibn=True, downsample=False)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(p_host.a2),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(p_host.c2),
+                               rtol=1e-6)
