@@ -52,9 +52,21 @@ USE_PALLAS_QCONV = False
 # Route eligible stride-1 SE basic blocks to the FUSED Pallas block kernel
 # (ops/qblock.py): both convs + BN/IBN + SE + residual in one kernel, so
 # no per-conv pallas_call boundary breaks XLA's epilogue fusions (the
-# failure mode that keeps USE_PALLAS_QCONV off). Measured on/off per
-# scripts/qblock_probe.py; see ROUND_NOTES r5.
+# failure mode that keeps USE_PALLAS_QCONV off). Measured OFF
+# (scripts/qblock_probe.py --e2e/--attrib, v5e 2026-08-19): isolated
+# per-block chains show the kernel 1.1-2.2x faster than XLA int8, but
+# end-to-end the full trunk runs 0.92x with all blocks routed and is a
+# wash/loss for every routing subset — in-situ attribution shows the
+# isolated baseline is layout-crippled (chain boundaries force default
+# layouts on XLA), so the "per-block win" does not exist in the real
+# graph, and the block22 route costs +0.8 ms/b256 on its own. The e2e
+# A/B is the only decision point that counts; XLA's int8 path keeps it.
 USE_PALLAS_QBLOCK = False
+
+# Diagnostic: when set, only SEBasicBlock module paths containing this
+# substring route to the fused kernel (e.g. "layer4_1"). Lets probes
+# attribute the per-boundary cost block by block. None = route all.
+QBLOCK_ROUTE_FILTER = None
 
 
 def _path_str(module: nn.Module) -> str:
@@ -355,6 +367,8 @@ def _qblock_route(m: nn.Module, args, kwargs, qstate: QuantState):
     if x.ndim != 4 or cin % 128 or cout % 128:
         return None
     path = _path_str(m)
+    if QBLOCK_ROUTE_FILTER is not None and QBLOCK_ROUTE_FILTER not in path:
+        return None
     prefix = path + "/" if path else ""
     for rel in ("conv1", "conv2") + (("down_conv",) if m.downsample else ()):
         if prefix + rel not in qstate.kernels:

@@ -87,7 +87,7 @@ def per_block():
               f"({t_oracle/t_fused:.2f}x)  maxrel {rel:.1e}", flush=True)
 
 
-def e2e():
+def _e2e_setup():
     from reid_tpu.models import build_model
     from reid_tpu.utils import quantize as qz
 
@@ -108,11 +108,7 @@ def e2e():
             f, l = model.apply(v, xx, train=False)
         return f.astype(jnp.float32)
 
-    results = {}
-    feats = {}
-    for flag in (False, True):
-        qz.USE_PALLAS_QBLOCK = flag
-
+    def measure(variables, x, batch):
         @jax.jit
         def chain(v, x0):
             def body(carry, _):
@@ -131,6 +127,19 @@ def e2e():
             t0 = time.perf_counter()
             _sync(chain(variables, x))
             best = min(best, (time.perf_counter() - t0) / 10)
+        return best
+
+    return qz, embed, measure, model, variables, x, batch
+
+
+def e2e():
+    import numpy as np
+    qz, embed, measure, model, variables, x, batch = _e2e_setup()
+    results = {}
+    feats = {}
+    for flag in (False, True):
+        qz.USE_PALLAS_QBLOCK = flag
+        best = measure(variables, x, batch)
         results[flag] = best
         feats[flag] = np.asarray(jax.jit(embed)(variables, x))
         print(f"USE_PALLAS_QBLOCK={flag}: {best*1e3:.3f} ms/b{batch} "
@@ -142,8 +151,35 @@ def e2e():
           f"feature cosine min {cos.min():.6f}", flush=True)
 
 
+def attrib():
+    """Route one block at a time: in-situ boundary-cost attribution.
+    Per-block in-isolation deltas (per_block probe) say routing block22
+    should SAVE ~2.4 ms/b256; whatever each single-block routing actually
+    changes vs OFF is (in-situ kernel delta + its pallas_call boundary
+    cost)."""
+    qz, embed, measure, model, variables, x, batch = _e2e_setup()
+    base = None
+    for filt in (None, "block22", "block32", "block41", "block42", "ALL"):
+        if filt is None:
+            qz.USE_PALLAS_QBLOCK = False
+            qz.QBLOCK_ROUTE_FILTER = None
+        else:
+            qz.USE_PALLAS_QBLOCK = True
+            qz.QBLOCK_ROUTE_FILTER = None if filt == "ALL" else filt
+        best = measure(variables, x, batch)
+        tag = "OFF" if filt is None else filt
+        if base is None:
+            base = best
+        print(f"route={tag:8s}: {best*1e3:.3f} ms/b{batch} "
+              f"(delta {1e3*(best-base):+.3f} ms)", flush=True)
+    qz.USE_PALLAS_QBLOCK = False
+    qz.QBLOCK_ROUTE_FILTER = None
+
+
 if __name__ == "__main__":
-    if "--e2e" in sys.argv:
+    if "--attrib" in sys.argv:
+        attrib()
+    elif "--e2e" in sys.argv:
         e2e()
     else:
         per_block()
