@@ -26,6 +26,59 @@ from .tracker import Tracker, TrackerState
 from .mot import write_mot_txt
 
 
+def resize_bilinear_matmul(x: jnp.ndarray, out_hw: Tuple[int, int],
+                           antialias: bool = True) -> jnp.ndarray:
+    """Full-frame bilinear resize as two STATIC hat-matrix matmuls.
+
+    Drop-in for `jax.image.resize(x, (..., oh, ow, C), "bilinear")` on
+    (H, W, C) or (B, H, W, C) images with static shapes. The triangle
+    kernel (antialias-widened on downscale, exactly like jax.image.resize's
+    default) becomes a row-normalized (out, in) weight matrix per axis, so
+    the whole resize is two MXU einsums instead of XLA's gather-based
+    lowering — the same formulation that beats gathers ~100x in
+    `crop_resize_bilinear` above. Used for the YOLO letterbox of 1080p
+    frames in the detector-in-the-loop serve path (ref
+    track_yolov5.py:181-199 preprocessing), where the per-frame resize is
+    Amdahl-visible.
+    """
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    b, h, w, c = x.shape
+
+    def hat(out_dim, in_dim):
+        # jax.image.resize semantics: sample at (o+0.5)*in/out - 0.5,
+        # triangle kernel widened by in/out on downscale (antialias),
+        # rows normalized over in-bounds taps.
+        scale = out_dim / in_dim
+        src = (jnp.arange(out_dim, dtype=jnp.float32) + 0.5) / scale - 0.5
+        cols = jnp.arange(in_dim, dtype=jnp.float32)
+        ks = min(scale, 1.0) if antialias else 1.0
+        wm = jnp.maximum(0.0, 1.0 - jnp.abs((src[:, None] - cols) * ks))
+        return wm / jnp.maximum(wm.sum(axis=1, keepdims=True), 1e-12)
+
+    wy = hat(oh, h)   # (oh, H)
+    wx = hat(ow, w)   # (ow, W)
+    xf = x.astype(jnp.float32)
+    # contraction-order FLOP lever (same as crop_resize_bilinear)
+    cost_y_first = oh * h * w + oh * ow * w
+    cost_x_first = ow * w * h + oh * h * ow
+    if cost_y_first <= cost_x_first:
+        rows = jnp.einsum("ih,bhwc->biwc", wy, xf,
+                          preferred_element_type=jnp.float32)
+        out = jnp.einsum("jw,biwc->bijc", wx, rows,
+                         preferred_element_type=jnp.float32)
+    else:
+        colsv = jnp.einsum("jw,bhwc->bhjc", wx, xf,
+                           preferred_element_type=jnp.float32)
+        out = jnp.einsum("ih,bhjc->bijc", wy, colsv,
+                         preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                     else jnp.float32)
+    return out[0] if squeeze else out
+
+
 def crop_resize_bilinear(img: jnp.ndarray, boxes: jnp.ndarray,
                          ch: int, cw: int, downsample: int = 1
                          ) -> jnp.ndarray:

@@ -202,6 +202,11 @@ def main():
                    help="expected scratch rank-1 range for --check "
                         "(default pinned for --scale 1.0, hard mode, from "
                         "the on-chip 2026-08-18 landing 0.600; see EVAL.md)")
+    p.add_argument("--expect_pretrained", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="expected pretrained-chain rank-1 range for --check "
+                        "(off until a hard-mode landing pins it; the "
+                        "2026-08-17 pretrained runs used the easy dataset)")
     p.add_argument("--seed", type=int, default=0,
                    help="training seed (dataset synthesis stays seed-0 so "
                         "multi-seed runs measure TRAINER variance — the "
@@ -342,6 +347,27 @@ def main():
                 f"pinned range [{lo}, {hi}] for the hard dataset — "
                 "training/eval quality moved")
         print(f"check OK: rank-1 {r1:.4f} within [{lo}, {hi}]")
+        if "int8_rank1_delta" in results:
+            # PTQ quality gate: the measured hard-mode landings are
+            # +0.004/-0.002 rank-1/mAP (EVAL.md); a 2-point drift means
+            # the quantizer (calibration, scales, routing) regressed.
+            d1, dm = results["int8_rank1_delta"], results["int8_mAP_delta"]
+            if abs(d1) > 0.02 or abs(dm) > 0.02:
+                raise SystemExit(
+                    f"REGRESSION GATE: int8 PTQ deltas rank-1 {d1:+.4f} / "
+                    f"mAP {dm:+.4f} exceed the 0.02 band — quantizer "
+                    "quality moved")
+            print(f"check OK: int8 deltas {d1:+.4f}/{dm:+.4f} within 0.02")
+        if "pretrained_rank1" in results and args.expect_pretrained:
+            plo, phi = args.expect_pretrained
+            pr1 = results["pretrained_rank1"]
+            if not (plo <= pr1 <= phi):
+                raise SystemExit(
+                    f"REGRESSION GATE: pretrained-chain rank-1 {pr1:.4f} "
+                    f"outside [{plo}, {phi}] — converter/fine-tune path "
+                    "quality moved")
+            print(f"check OK: pretrained rank-1 {pr1:.4f} "
+                  f"within [{plo}, {phi}]")
     return results
 
 

@@ -471,3 +471,38 @@ def test_per_frame_crop_cap_parity_and_capping():
     ids_last = np.asarray(pipe_c.results[-1]["ids"])[
         np.asarray(pipe_c.results[-1]["valid"])]
     assert ids_last.tolist() == [1]
+
+
+def test_resize_bilinear_matmul_matches_jax_image_resize():
+    # the matmul letterbox (detector-in-loop serve path) must match
+    # jax.image.resize's antialiased bilinear exactly on CPU f32
+    import jax
+
+    from reid_tpu.tracking.pipeline import resize_bilinear_matmul
+
+    rng = np.random.default_rng(3)
+    for shape, out in [((135, 240, 3), (90, 160)),    # downscale
+                       ((50, 80, 3), (100, 160)),     # upscale
+                       ((2, 77, 123, 3), (64, 32))]:  # batched, mixed
+        x = rng.uniform(0, 1, shape).astype(np.float32)
+        tgt = (*shape[:-3], *out, 3)
+        ref = jax.image.resize(jnp.asarray(x), tgt, "bilinear")
+        got = resize_bilinear_matmul(jnp.asarray(x), out)
+        assert got.shape == tgt
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_resize_bilinear_matmul_uint8_input():
+    # uint8 frames promote to f32 output (the serve path feeds uint8)
+    import jax
+
+    from reid_tpu.tracking.pipeline import resize_bilinear_matmul
+
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 255, (60, 90, 3)).astype(np.uint8)
+    ref = jax.image.resize(jnp.asarray(x).astype(jnp.float32),
+                           (30, 45, 3), "bilinear")
+    got = resize_bilinear_matmul(jnp.asarray(x), (30, 45))
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
