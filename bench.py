@@ -497,12 +497,13 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
 
 def bench_tracking_mot16_detector_in_loop(model, variables, chunk=16,
                                           n_real=50, max_tracks=128,
-                                          hw=(1080, 1920)):
+                                          hw=(1080, 1920), int8=False):
     """Reference full-loop conditions: YOLOv5s at 640x640 letterbox on
     1080p frames, 300-candidate NMS feeding 300 det slots (crop stage
     bounded by frame_crop_cap=64), 128 track slots — the operating point of
     ref track_yolov5.py:181-199 (imgsz 640, max_det 300) end-to-end in ONE
-    fused chunk program."""
+    fused chunk program. int8=True quantizes the REID embed only (int8
+    YOLO measured slower on chip — see EVAL.md int8 notes)."""
     from reid_tpu.config import TrackerConfig
     from reid_tpu.models.yolo import build_yolo, decode_yolo, nms_fixed
     from reid_tpu.tracking.pipeline import make_chunked_tracker
@@ -512,14 +513,33 @@ def bench_tracking_mot16_detector_in_loop(model, variables, chunk=16,
     cfg = TrackerConfig(max_tracks=max_tracks, max_dets=nms_cap, n_init=2,
                         crop_hw=(256, 128), min_confidence=0.1)
 
-    def embed_fn(params, batch_stats, crops):
-        feat, logits = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            crops.astype(jnp.bfloat16), train=False)
-        f = jnp.concatenate([feat.astype(jnp.float32),
-                             logits.astype(jnp.float32)], axis=1)
-        return f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True),
-                               1e-12)
+    if int8:
+        from reid_tpu.utils.quantize import quantize, quantized_apply
+        rngc = np.random.default_rng(1)
+        mean = np.asarray((0.485, 0.456, 0.406), np.float32)
+        std = np.asarray((0.229, 0.224, 0.225), np.float32)
+        calib = jnp.asarray(
+            (rngc.random((64, 256, 128, 3), dtype=np.float32) - mean) / std)
+        qs = quantize(model, variables, [calib.astype(jnp.bfloat16)],
+                      train=False)
+
+        def embed_fn(params, batch_stats, crops):
+            feat, logits = quantized_apply(
+                model, {"params": params, "batch_stats": batch_stats}, qs,
+                crops.astype(jnp.bfloat16), train=False)
+            f = jnp.concatenate([feat.astype(jnp.float32),
+                                 logits.astype(jnp.float32)], axis=1)
+            return f / jnp.maximum(
+                jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+    else:
+        def embed_fn(params, batch_stats, crops):
+            feat, logits = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                crops.astype(jnp.bfloat16), train=False)
+            f = jnp.concatenate([feat.astype(jnp.float32),
+                                 logits.astype(jnp.float32)], axis=1)
+            return f / jnp.maximum(
+                jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
 
     det_model = build_yolo("yolov5s", num_classes=1, dtype=jnp.bfloat16)
     dvars = jax.jit(lambda k, x: det_model.init(k, x, train=False))(
@@ -843,6 +863,9 @@ def main():
                                            crop_hw=(128, 64))),
         ("mot_tracking_fps_mot16_load_detector_in_loop",
          lambda: bench_tracking_mot16_detector_in_loop(model, variables)),
+        ("mot_tracking_fps_mot16_load_detector_in_loop_int8",
+         lambda: bench_tracking_mot16_detector_in_loop(model, variables,
+                                                       int8=True)),
         ("yolov5s_detect_fps_640x640_nms300",
          lambda: bench_yolo_forward(hw=(640, 640), max_candidates=1024,
                                     max_dets=300)),

@@ -197,11 +197,13 @@ def main():
     p.add_argument("--check", action="store_true",
                    help="fail if scratch rank-1 leaves the pinned expected "
                         "range for the hard dataset (regression gate)")
-    p.add_argument("--expect", type=float, nargs=2, default=(0.52, 0.68),
+    p.add_argument("--expect", type=float, nargs=2, default=(0.55, 0.64),
                    metavar=("LO", "HI"),
                    help="expected scratch rank-1 range for --check "
                         "(default pinned for --scale 1.0, hard mode, from "
-                        "the on-chip 2026-08-18 landing 0.600; see EVAL.md)")
+                        "the 4-seed on-chip spread 0.5832-0.6032 measured "
+                        "2026-08-18/19 — observed range +-0.035, sized to "
+                        "trip on a 3-4%% regression; see EVAL.md)")
     p.add_argument("--expect_pretrained", type=float, nargs=2, default=None,
                    metavar=("LO", "HI"),
                    help="expected pretrained-chain rank-1 range for --check "
