@@ -356,7 +356,7 @@ def conv3x3_s8_dma(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
         kernel,
         grid=(b // img_block,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),             # stays in HBM
             pl.BlockSpec((9 * cin, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0),
