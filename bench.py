@@ -414,7 +414,8 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
                               n_real=50, max_tracks=128, hw=(1080, 1920),
                               int8=False, assignment="greedy_rounds",
                               crop_hw=(256, 128), crop_downsample=1,
-                              method=None, embed_in_dtype="float32"):
+                              method=None, embed_in_dtype="float32",
+                              embed_every=1):
     """End-to-end tracking fps at the reference's REAL MOT16 operating
     point: 1920x1080 frames, 50 dets/frame in 64-det capacity, 128 track
     slots, crop budget sized to the true load. The existing headline
@@ -435,13 +436,15 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
                             max_dets=max_dets, n_init=2, crop_hw=crop_hw,
                             assignment=assignment,
                             crop_downsample=crop_downsample,
-                            embed_in_dtype=embed_in_dtype)
+                            embed_in_dtype=embed_in_dtype,
+                            embed_every=embed_every)
     else:
         cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets,
                             n_init=2, crop_hw=crop_hw,
                             assignment=assignment,
                             crop_downsample=crop_downsample,
-                            embed_in_dtype=embed_in_dtype)
+                            embed_in_dtype=embed_in_dtype,
+                            embed_every=embed_every)
     rng = np.random.default_rng(0)
 
     if int8:
@@ -497,7 +500,8 @@ def bench_tracking_mot16_load(model, variables, chunk=32, max_dets=64,
 
 def bench_tracking_mot16_detector_in_loop(model, variables, chunk=16,
                                           n_real=50, max_tracks=128,
-                                          hw=(1080, 1920), int8=False):
+                                          hw=(1080, 1920), int8=False,
+                                          embed_every=1):
     """Reference full-loop conditions: YOLOv5s at 640x640 letterbox on
     1080p frames, 300-candidate NMS feeding 300 det slots (crop stage
     bounded by frame_crop_cap=64), 128 track slots — the operating point of
@@ -511,7 +515,8 @@ def bench_tracking_mot16_detector_in_loop(model, variables, chunk=16,
 
     nms_cap = 300
     cfg = TrackerConfig(max_tracks=max_tracks, max_dets=nms_cap, n_init=2,
-                        crop_hw=(256, 128), min_confidence=0.1)
+                        crop_hw=(256, 128), min_confidence=0.1,
+                        embed_every=embed_every)
 
     if int8:
         from reid_tpu.utils.quantize import quantize, quantized_apply
@@ -861,11 +866,24 @@ def main():
         ("mot_tracking_fps_mot16_load_int8_fastcrop",
          lambda: bench_tracking_mot16_load(model, variables, int8=True,
                                            crop_hw=(128, 64))),
+        # appearance cadence (embed_every=2): crop+embed only every 2nd
+        # frame; skip frames associate on pure motion/IoU (quality trade
+        # measured on the hard gauntlet — EVAL.md "Appearance cadence")
+        ("mot_tracking_fps_mot16_load_embed2",
+         lambda: bench_tracking_mot16_load(model, variables,
+                                           embed_every=2)),
+        ("mot_tracking_fps_mot16_load_embed2_int8",
+         lambda: bench_tracking_mot16_load(model, variables, int8=True,
+                                           embed_every=2)),
         ("mot_tracking_fps_mot16_load_detector_in_loop",
          lambda: bench_tracking_mot16_detector_in_loop(model, variables)),
         ("mot_tracking_fps_mot16_load_detector_in_loop_int8",
          lambda: bench_tracking_mot16_detector_in_loop(model, variables,
                                                        int8=True)),
+        ("mot_tracking_fps_mot16_load_detector_in_loop_embed2_int8",
+         lambda: bench_tracking_mot16_detector_in_loop(model, variables,
+                                                       int8=True,
+                                                       embed_every=2)),
         ("yolov5s_detect_fps_640x640_nms300",
          lambda: bench_yolo_forward(hw=(640, 640), max_candidates=1024,
                                     max_dets=300)),

@@ -416,6 +416,16 @@ def track_main(argv=None):
                    help="crop/embed only the top-N valid boxes per frame "
                         "(0 = every det slot); lets --max_dets 300 serve "
                         "pay only for the boxes actually present")
+    p.add_argument("--embed_every", type=int, default=1,
+                   help="appearance cadence: embed ReID crops only on "
+                        "every k-th frame; in between association is "
+                        "appearance-neutral (pure motion/IoU) and the EMA "
+                        "feature / NN gallery are untouched. k=1 is "
+                        "bit-identical to embedding every frame; the "
+                        "chunked path (--chunk) requires chunk %% k == 0. "
+                        "Quality trade measured on the hard gauntlet "
+                        "(EVAL.md) — cuts the dominant crop+embed stages "
+                        "by ~k at MOT16 load")
     p.add_argument("--crop_hw", type=int, nargs=2, default=(256, 128),
                    metavar=("H", "W"),
                    help="ReID crop size (ref TRACKING_EVAL.md:5; "
@@ -466,7 +476,8 @@ def track_main(argv=None):
                         max_dets=args.max_dets,
                         crop_hw=tuple(args.crop_hw),
                         crop_downsample=args.crop_downsample,
-                        frame_crop_cap=args.frame_crop_cap or None)
+                        frame_crop_cap=args.frame_crop_cap or None,
+                        embed_every=max(1, args.embed_every))
     model = build_model(args.backbone, num_classes=args.num_classes,
                         dtype=jnp.bfloat16)
     dummy = jnp.zeros((2, *cfg.crop_hw, 3), jnp.bfloat16)

@@ -175,6 +175,23 @@ class TrackerConfig:
                                        # the embed model itself computes in
                                        # bf16 (its first op casts anyway).
                                        # Keep "float32" for f32 embed models.
+    embed_every: int = 1               # appearance cadence: embed ReID crops
+                                       # only on every k-th frame; in between
+                                       # association is appearance-neutral
+                                       # (pure motion/IoU) and the EMA
+                                       # feature / NN gallery are untouched.
+                                       # k=1 (default) is bit-identical to
+                                       # embedding every frame. The chunked
+                                       # path requires chunk % k == 0 so the
+                                       # cadence stays static per program.
+                                       # Measured (EVAL.md "Appearance
+                                       # cadence"): MOT16-load fps 372->632
+                                       # at k=2; quality FREE for
+                                       # deepocsort (+0.00 MOTA, hard
+                                       # gauntlet), near-free for botsort
+                                       # (-0.16), NOT for strongsort (-6.5
+                                       # — no GMC to cover camera motion
+                                       # on the appearance-free frames).
     frame_crop_cap: Optional[int] = None  # crop/embed only the top-cap
                                        # valid-by-confidence boxes per frame
                                        # (det SLOTS can exceed the affordable

@@ -252,6 +252,11 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
         frame_crop_cap = getattr(cfg, "frame_crop_cap", None)
     if frame_crop_cap is not None and frame_crop_cap <= 0:
         frame_crop_cap = None        # 0 would silently drop every det
+    k_embed = max(1, int(getattr(cfg, "embed_every", 1)))
+    if k_embed > 1 and chunk % k_embed != 0:
+        raise ValueError(
+            f"embed_every={k_embed} requires chunk % embed_every == 0 "
+            f"(chunk={chunk}) so the cadence phase is static per chunk")
     ch, cw = crop_hw
     mean = jnp.asarray((0.485, 0.456, 0.406))
     std = jnp.asarray((0.229, 0.224, 0.225))
@@ -279,27 +284,52 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
             valid_c = jnp.take_along_axis(valid, sel_f, axis=1)
             kept_f = jnp.zeros((t, d), bool).at[
                 jnp.arange(t)[:, None], sel_f].set(True)
-            valid = valid & kept_f
+            if k_embed > 1:
+                # the cap bounds CROP work; skip frames of the embed
+                # cadence do none, so their dets stay valid
+                emb = (jnp.arange(t) % k_embed) == 0
+                valid = valid & (kept_f | ~emb[:, None])
+            else:
+                valid = valid & kept_f
         else:
             sel_f = jnp.broadcast_to(jnp.arange(d), (t, d))
             boxes_c, conf_c, valid_c = tlwh, conf, valid
+
+        # appearance cadence (TrackerConfig.embed_every): crop + embed only
+        # every k-th frame of the chunk (chunk starts are multiples of
+        # `chunk` and chunk % k == 0, so the phase is static: chunk-local
+        # index i is an embed frame iff i % k == 0). Skip frames keep their
+        # detections valid (association runs appearance-neutral there —
+        # tracker.py has_feats) but pay zero crop/embed cost, so the two
+        # dominant stages scale down by k.
+        if k_embed > 1:
+            t_e = t // k_embed
+            eidx = jnp.arange(0, t, k_embed)               # (Te,) static
+            imgs_e = imgs[::k_embed]
+            boxes_e = boxes_c[::k_embed]
+            conf_e, valid_e = conf_c[::k_embed], valid_c[::k_embed]
+            sel_e = sel_f[::k_embed]
+            emb_row = (jnp.arange(t) % k_embed) == 0       # (T,)
+        else:
+            t_e, eidx, sel_e = t, jnp.arange(t), sel_f
+            imgs_e, boxes_e, conf_e, valid_e = imgs, boxes_c, conf_c, valid_c
 
         crops = jax.vmap(
             lambda img, boxes: crop_resize_bilinear(
                 img, boxes, ch, cw,
                 downsample=getattr(cfg, "crop_downsample", 1))
-        )(imgs, boxes_c)                                   # (T, cap, ...)
+        )(imgs_e, boxes_e)                                 # (Te, cap, ...)
         crops = ((crops - mean) / std).astype(handoff)
-        crops = crops.reshape(t * cap, ch, cw, 3)
+        crops = crops.reshape(t_e * cap, ch, cw, 3)
         # original slot id of each cropped row, for the feature scatter
-        flat_slots = (jnp.arange(t)[:, None] * d + sel_f).reshape(t * cap)
+        flat_slots = (eidx[:, None] * d + sel_e).reshape(t_e * cap)
 
-        if crop_budget is not None and crop_budget < t * cap:
+        if crop_budget is not None and crop_budget < t_e * cap:
             b = crop_budget
             # -inf sentinel: gt-style det files carry conf=-1, which must
             # still outrank every invalid slot in the top-k selection
-            score = jnp.where(valid_c.reshape(t * cap),
-                              conf_c.reshape(t * cap), -jnp.inf)
+            score = jnp.where(valid_e.reshape(t_e * cap),
+                              conf_e.reshape(t_e * cap), -jnp.inf)
             sel = jax.lax.top_k(score, b)[1]               # (B,) crop rows
             feats_b = embed_fn(params, batch_stats, crops[sel])
             fdim = feats_b.shape[-1]
@@ -307,9 +337,14 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
             feats = jnp.zeros((t * d, fdim), feats_b.dtype).at[target].set(
                 feats_b).reshape(t, d, -1)
             kept = jnp.zeros((t * d,), bool).at[target].set(True)
-            valid = valid & kept.reshape(t, d)
-        elif cap < d:
-            feats_c = embed_fn(params, batch_stats, crops)  # (T*cap, F)
+            if k_embed > 1:
+                # budget overflow drops dets only on EMBED frames (skip
+                # frames do no crop work, so the budget never binds there)
+                valid = valid & (kept.reshape(t, d) | ~emb_row[:, None])
+            else:
+                valid = valid & kept.reshape(t, d)
+        elif cap < d or k_embed > 1:
+            feats_c = embed_fn(params, batch_stats, crops)  # (Te*cap, F)
             feats = jnp.zeros(
                 (t * d, feats_c.shape[-1]), feats_c.dtype).at[
                 flat_slots].set(feats_c).reshape(t, d, -1)
@@ -325,14 +360,20 @@ def make_chunked_tracker(cfg: TrackerConfig, embed_fn, crop_hw,
                 jnp.eye(2, 3, dtype=jnp.float32), (t, 2, 3))
 
         def scan_step(st, frame_inputs):
-            boxes, c, f, v, aff = frame_inputs
+            if k_embed > 1:
+                boxes, c, f, v, aff, hf = frame_inputs
+            else:
+                boxes, c, f, v, aff = frame_inputs
+                hf = True  # python literal: keeps the graph bit-identical
             if use_gmc:  # trace-time branch: no cost when off
                 st = apply_gmc(st, aff)
-            st, out = _update_impl(cfg, st, boxes, c, f, v)
+            st, out = _update_impl(cfg, st, boxes, c, f, v, has_feats=hf)
             return st, out
 
-        state, outputs = jax.lax.scan(scan_step, state,
-                                      (tlwh, conf, feats, valid, affines))
+        xs = (tlwh, conf, feats, valid, affines)
+        if k_embed > 1:
+            xs = xs + ((jnp.arange(t) % k_embed) == 0,)
+        state, outputs = jax.lax.scan(scan_step, state, xs)
         return state, outputs
 
     return run_chunk
@@ -366,6 +407,11 @@ class TrackingPipeline:
         self._gmc = uses_gmc(cfg)
         self.gmc_mode = gmc_mode
         self._prev_frame = None
+        # appearance cadence (TrackerConfig.embed_every): the per-frame
+        # step() path embeds crops only on every k-th call, phase-aligned
+        # with the chunked path (both count from the first frame)
+        self._k_embed = max(1, int(getattr(cfg, "embed_every", 1)))
+        self._step_idx = 0
 
     def step(self, frame_idx: int, frame: np.ndarray,
              tlwh: np.ndarray, conf: np.ndarray, valid: np.ndarray):
@@ -377,13 +423,23 @@ class TrackingPipeline:
                 affine = estimate_affine(self._prev_frame, frame)
                 self.state = apply_gmc(self.state, jnp.asarray(affine))
             self._prev_frame = frame
-        feats, valid_d = self.crop_embed(
-            self.params, self.batch_stats, jnp.asarray(frame),
-            jnp.asarray(tlwh), jnp.asarray(conf), jnp.asarray(valid))
+        is_embed = (self._step_idx % self._k_embed) == 0
+        self._step_idx += 1
+        if is_embed:
+            feats, valid_d = self.crop_embed(
+                self.params, self.batch_stats, jnp.asarray(frame),
+                jnp.asarray(tlwh), jnp.asarray(conf), jnp.asarray(valid))
+        else:
+            # skip frame: zero crop/embed cost; association runs
+            # appearance-neutral (tracker.py has_feats=False) and the
+            # EMA feature / gallery stay untouched
+            feats = jnp.zeros((tlwh.shape[0], self.tracker.feat_dim),
+                              jnp.float32)
+            valid_d = jnp.asarray(valid)
         t1 = time.perf_counter()
         self.state, out = self.tracker.update(
             self.state, jnp.asarray(tlwh), jnp.asarray(conf), feats,
-            valid_d,
+            valid_d, has_feats=is_embed,
         )
         out = jax.device_get(out)
         t2 = time.perf_counter()

@@ -101,16 +101,42 @@ class Tracker:
         self.cfg = cfg
         self.feat_dim = feat_dim
         self._update = jax.jit(functools.partial(_update_impl, cfg))
+        self._update_nofeat = jax.jit(
+            functools.partial(_update_impl, cfg, has_feats=False))
+        # cadence-aware EMBED-frame graph (embed_every > 1): numpy True is
+        # NOT the python literal `True`, so _update_impl takes the
+        # neutralization path — tracks initiated on a skip frame
+        # (gallery_count == 0) stay appearance-neutral until their first
+        # real feature, which REPLACES the zero placeholder. XLA constant-
+        # folds the constant-true conditions, so this costs nothing.
+        import numpy as _np
+        self._update_cadence = jax.jit(
+            functools.partial(_update_impl, cfg, has_feats=_np.True_))
+        self._k_embed = max(1, int(getattr(cfg, "embed_every", 1)))
 
     def init_state(self) -> TrackerState:
         budget = self.cfg.nn_budget if self.cfg.use_gallery else 1
         return init_tracker_state(self.cfg.max_tracks, self.feat_dim,
                                   gallery_size=budget)
 
-    def update(self, state: TrackerState, tlwh, conf, feats, det_valid):
+    def update(self, state: TrackerState, tlwh, conf, feats, det_valid,
+               has_feats: bool = True):
         """One frame. tlwh (D,4), conf (D,), feats (D,F), det_valid (D,) bool.
-        Returns (state, outputs dict with tlwh/ids/valid of active tracks)."""
-        return self._update(state, tlwh, conf, feats, det_valid)
+        Returns (state, outputs dict with tlwh/ids/valid of active tracks).
+
+        `has_feats=False` marks an appearance-skip frame (embed cadence,
+        TrackerConfig.embed_every): association runs appearance-neutral
+        (pure motion/IoU) and the EMA feature / gallery are left untouched.
+        """
+        if has_feats:
+            if self._k_embed > 1:
+                # under cadence, embed frames must still treat skip-frame-
+                # initiated tracks (gallery_count == 0) as appearance-
+                # unknown — same graph the chunked scan traces
+                return self._update_cadence(state, tlwh, conf, feats,
+                                            det_valid)
+            return self._update(state, tlwh, conf, feats, det_valid)
+        return self._update_nofeat(state, tlwh, conf, feats, det_valid)
 
 
 def apply_gmc(state: TrackerState, affine: jnp.ndarray) -> TrackerState:
@@ -130,7 +156,16 @@ def apply_gmc(state: TrackerState, affine: jnp.ndarray) -> TrackerState:
 
 
 def _update_impl(cfg: TrackerConfig, state: TrackerState,
-                 tlwh, conf, feats, det_valid):
+                 tlwh, conf, feats, det_valid, has_feats=True):
+    # `has_feats` marks whether this frame carries real appearance
+    # embeddings (TrackerConfig.embed_every cadence: embed only every k-th
+    # frame; in between, `feats` is zeros and has_feats=False). On a skip
+    # frame the appearance term is NEUTRALIZED so every cost form reduces
+    # to its pure motion/IoU geometry, and the EMA feature / NN gallery are
+    # left untouched. `has_feats is True` (the python literal, the default
+    # everywhere cadence is off) keeps the original graph bit-identical.
+    # It may also be a traced per-frame bool (the chunked scan).
+    static_hf = has_feats is True
     t_slots = state.mean.shape[0]
     raw_valid = det_valid
     # BYTE (ByteTrack): low-score dets participate in a second IoU-only
@@ -166,6 +201,16 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
         app = jnp.where(state.gallery_count[:, None] > 0, app, 1.0)
     else:
         app = appearance_cost(state.feat, feats)                # (T, D)
+    if not static_hf:
+        # Appearance-neutral value per cost form: the fused (BoT-SORT) and
+        # additive-AW (DeepOCSort) forms reduce to pure IoU at app=1
+        # (emb_hat -> 1 / sim -> 0); the blended (StrongSort) form reduces
+        # to pure Mahalanobis motion at app=0. Applied on skip frames AND
+        # for tracks that have never received a feature (initiated on a
+        # skip frame — gallery_count==0 is the has-any-appearance proxy).
+        neutral = 1.0 if (cfg.fuse_min or cfg.aw_scale > 0) else 0.0
+        app_known = has_feats & (state.gallery_count > 0)[:, None]
+        app = jnp.where(app_known, app, neutral)
     maha = jax.vmap(kalman_gating_distance, in_axes=(0, 0, None))(
         mean, cov, z_xyah)                                       # (T, D)
     track_tlwh = _xyah_to_tlwh(mean[:, :4])
@@ -329,7 +374,15 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
     new_feat = alpha * state.feat + (1.0 - alpha) * dfeat
     new_feat = new_feat / jnp.maximum(
         jnp.linalg.norm(new_feat, axis=-1, keepdims=True), 1e-12)
-    feat = jnp.where(matched[:, None], new_feat, state.feat)
+    # appearance model updates only consume REAL features (skip frames of
+    # the embed cadence leave EMA/gallery untouched)
+    matched_f = matched if static_hf else (matched & has_feats)
+    # a first REAL feature replaces (not EMA-blends) the zero placeholder
+    # of a track initiated on a skip frame
+    if not static_hf:
+        new_feat = jnp.where((state.gallery_count > 0)[:, None],
+                             new_feat, dfeat)
+    feat = jnp.where(matched_f[:, None], new_feat, state.feat)
 
     # appearance gallery ring insert (NN_BUDGET role)
     t_idx = jnp.arange(t_slots)
@@ -337,8 +390,8 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
     ptr = state.gallery_count % budget
     cur_row = state.gallery[t_idx, ptr]
     gallery = state.gallery.at[t_idx, ptr].set(
-        jnp.where(matched[:, None], dfeat, cur_row))
-    gallery_count = jnp.where(matched, state.gallery_count + 1,
+        jnp.where(matched_f[:, None], dfeat, cur_row))
+    gallery_count = jnp.where(matched_f, state.gallery_count + 1,
                               state.gallery_count)
 
     # ORU/OCR bookkeeping: observation + frozen state refresh on every match
@@ -401,7 +454,11 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
     frozen_cov = jnp.where(take[:, None, None], icov, frozen_cov)
     init_gal = jnp.zeros_like(gallery).at[:, 0, :].set(ifeat)
     gallery = jnp.where(take[:, None, None], init_gal, gallery)
-    gallery_count = jnp.where(take, 1, gallery_count)
+    # a track initiated on a skip frame starts with NO appearance
+    # (gallery_count 0 keeps its app cost neutral until a real feature
+    # arrives on a later embed frame)
+    init_count = 1 if static_hf else jnp.where(has_feats, 1, 0)
+    gallery_count = jnp.where(take, init_count, gallery_count)
 
     new_state = TrackerState(mean, cov, feat, status, hits, tsu,
                              track_id, next_id, last_obs,

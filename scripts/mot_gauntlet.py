@@ -102,6 +102,10 @@ def main():
             ("int8", ["--int8"]),
             ("fastcrop", ["--crop_hw", "128", "64"]),
             ("ds2", ["--crop_downsample", "2"]),
+            # appearance cadence: embed every 2nd/4th frame, skip frames
+            # associate on pure motion/IoU (TrackerConfig.embed_every)
+            ("embed2", ["--embed_every", "2"]),
+            ("embed4", ["--embed_every", "4"]),
         ):
             m = run_method("strongsort", img_dir, gt, det, out_dir,
                            extra_args=extra)

@@ -473,6 +473,160 @@ def test_per_frame_crop_cap_parity_and_capping():
     assert ids_last.tolist() == [1]
 
 
+def test_embed_every_chunk_mismatch_raises():
+    """chunk % embed_every != 0 would make the cadence phase dynamic per
+    chunk; the builder must refuse it loudly."""
+    from reid_tpu.tracking.pipeline import make_chunked_tracker
+
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        crop_hw=(32, 16), embed_every=3)
+    with pytest.raises(ValueError, match="embed_every"):
+        make_chunked_tracker(cfg, _embed_fn, cfg.crop_hw, chunk=8)
+
+
+def test_embed_every_tracks_match_full_cadence():
+    """On the scripted 2-target scene, embedding every 2nd/4th frame keeps
+    the same stable ids as embedding every frame (motion carries the skip
+    frames), through the chunked path."""
+    frames, tlwh, conf, valid = _sequence()
+
+    def run(k):
+        cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                            crop_hw=(32, 16), embed_every=k)
+        pipe = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+        pipe.run_sequence(frames, tlwh, conf, valid, chunk=8)
+        return [sorted(np.asarray(r["ids"])[np.asarray(r["valid"])].tolist())
+                for r in pipe.results]
+
+    ids1, ids2, ids4 = run(1), run(2), run(4)
+    assert ids1 == ids2 == ids4
+    assert ids1[-1] == [1, 2]
+
+
+def test_embed_every_per_frame_matches_chunked():
+    """The per-frame step() cadence is phase-aligned with the chunked path:
+    identical ids/valid for embed_every=2."""
+    cfg = TrackerConfig(max_tracks=16, max_dets=8, n_init=2,
+                        crop_hw=(32, 16), embed_every=2)
+    frames, tlwh, conf, valid = _sequence()
+
+    pipe_a = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    for i in range(frames.shape[0]):
+        pipe_a.step(i + 1, frames[i], tlwh[i], conf[i], valid[i])
+
+    pipe_b = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+    pipe_b.run_sequence(frames, tlwh, conf, valid, chunk=4)
+
+    def sig(results):
+        return [(sorted(np.asarray(r["ids"])[np.asarray(r["valid"])]
+                        .tolist()),
+                 int(np.asarray(r["valid"]).sum())) for r in results]
+
+    assert sig(pipe_a.results) == sig(pipe_b.results)
+
+
+def test_embed_every_composes_with_caps():
+    """Cadence + frame_crop_cap + crop_budget together: when neither cap
+    binds, outputs match the cadence-only run; skip frames keep their
+    detections valid even under a tight crop cap (they do no crop work)."""
+    frames, tlwh, conf, valid = _sequence()
+    base = dict(max_tracks=16, max_dets=8, n_init=2, crop_hw=(32, 16),
+                embed_every=2)
+
+    ref = TrackingPipeline(TrackerConfig(**base), _embed_fn, {}, {},
+                           feat_dim=9)
+    ref.run_sequence(frames, tlwh, conf, valid, chunk=4)
+
+    both = TrackingPipeline(TrackerConfig(**base), _embed_fn, {}, {},
+                            feat_dim=9)
+    # 2 embed frames/chunk x cap 3 >= 2 valid -> budget 6 >= 2x2 needed
+    both.run_sequence(frames, tlwh, conf, valid, chunk=4,
+                      crop_budget=6, frame_crop_cap=3)
+    for a, b in zip(ref.results, both.results):
+        np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                      np.asarray(b["valid"]))
+        np.testing.assert_array_equal(np.asarray(a["ids"]),
+                                      np.asarray(b["ids"]))
+
+    # tight cap=1: embed frames keep 1 det, skip frames keep BOTH
+    # (cadence contract: the cap bounds CROP work, skip frames do none).
+    # n_init=1 so the low-conf target — seen only on skip frames, its det
+    # is capped away on every embed frame — still reaches the output there.
+    conf2 = conf.copy()
+    conf2[:, 1] = 0.6   # above min_confidence, below target 1's 0.9
+    tight_cfg = TrackerConfig(**{**base, "n_init": 1})
+    tight = TrackingPipeline(tight_cfg, _embed_fn, {}, {}, feat_dim=9)
+    tight.run_sequence(frames, tlwh, conf2, valid, chunk=4,
+                       frame_crop_cap=1)
+    # detections on skip frames survive the cap: those frames track BOTH
+    kept = [int(np.asarray(r["valid"]).sum()) for r in tight.results]
+    assert max(kept) == 2
+    # and embed frames are capped to the single high-conf target
+    assert min(kept[2:]) == 1
+
+
+def test_embed_every_output_identical_for_appearance_free_methods():
+    """bytetrack/ocsort never consult appearance (mc_lambda=0, no fused/AW
+    term), so any cadence must yield bit-identical track outputs — the
+    cadence only skips work these methods never used."""
+    from reid_tpu.tracking.methods import method_config
+
+    frames, tlwh, conf, valid = _sequence()
+    for method in ("bytetrack", "ocsort"):
+        outs = {}
+        for k in (1, 2):
+            cfg = method_config(method, max_tracks=16, max_dets=8,
+                                n_init=2, crop_hw=(32, 16), embed_every=k)
+            pipe = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9)
+            pipe.run_sequence(frames, tlwh, conf, valid, chunk=4)
+            outs[k] = pipe.results
+        for a, b in zip(outs[1], outs[2]):
+            np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                          np.asarray(b["valid"]))
+            np.testing.assert_array_equal(np.asarray(a["ids"]),
+                                          np.asarray(b["ids"]))
+            np.testing.assert_array_equal(np.asarray(a["tlwh"]),
+                                          np.asarray(b["tlwh"]))
+
+
+def test_embed_every_skip_frame_track_init_gets_feature_later():
+    """A track initiated on a SKIP frame starts with no appearance
+    (gallery_count 0, neutral cost) and adopts its first real feature on
+    the next embed frame (replace, not EMA-blend with the zero
+    placeholder)."""
+    import jax.numpy as jnp
+    from reid_tpu.tracking.tracker import Tracker
+
+    cfg = TrackerConfig(max_tracks=4, max_dets=2, n_init=1,
+                        crop_hw=(32, 16), embed_every=2)
+    tr = Tracker(cfg, feat_dim=4)
+    st = tr.init_state()
+    box = jnp.asarray([[10.0, 10.0, 20.0, 40.0], [0, 0, 0, 0]])
+    conf = jnp.asarray([0.9, 0.0])
+    valid = jnp.asarray([True, False])
+    zero_f = jnp.zeros((2, 4))
+    real_f = jnp.asarray([[1.0, 0.0, 0.0, 0.0], [0, 0, 0, 0]])
+
+    # frame 1 = SKIP frame (cadence phase 1): track initiated without
+    # appearance
+    st, _ = tr.update(st, box, conf, zero_f, valid, has_feats=False)
+    slot = int(np.argmax(np.asarray(st.track_id) > 0))
+    assert int(st.gallery_count[slot]) == 0
+    assert float(jnp.abs(st.feat[slot]).max()) == 0.0
+
+    # frame 2 = EMBED frame: first real feature REPLACES the placeholder
+    st, _ = tr.update(st, box, conf, real_f, valid, has_feats=True)
+    assert int(st.gallery_count[slot]) == 1
+    np.testing.assert_allclose(np.asarray(st.feat[slot]),
+                               [1.0, 0.0, 0.0, 0.0], atol=1e-6)
+
+    # frame 3 = SKIP frame again: EMA feature untouched by the match
+    st, _ = tr.update(st, box, conf, zero_f, valid, has_feats=False)
+    assert int(st.gallery_count[slot]) == 1
+    np.testing.assert_allclose(np.asarray(st.feat[slot]),
+                               [1.0, 0.0, 0.0, 0.0], atol=1e-6)
+
+
 def test_resize_bilinear_matmul_matches_jax_image_resize():
     # the matmul letterbox (detector-in-loop serve path) must match
     # jax.image.resize's antialiased bilinear exactly on CPU f32
