@@ -314,7 +314,7 @@ def bench_tracking_int8(model, variables, chunk=64, max_dets=32):
 
 def bench_tracking_multistream(model, variables, n_streams=8, chunk=64,
                                max_dets=32, hw=(480, 640), n_real=16,
-                               max_tracks=64):
+                               max_tracks=64, embed_every=1):
     """Aggregate single-chip fps for S independent camera streams vmapped
     through ONE chunk program (tracking/streams.py, mesh=None) with the int8
     embed: the association scan's small per-frame ops batch over the stream
@@ -327,7 +327,7 @@ def bench_tracking_multistream(model, variables, n_streams=8, chunk=64,
     from reid_tpu.utils.quantize import quantize, quantized_apply
 
     cfg = TrackerConfig(max_tracks=max_tracks, max_dets=max_dets, n_init=2,
-                        crop_hw=(256, 128),
+                        crop_hw=(256, 128), embed_every=embed_every,
                         frame_crop_cap=n_real)  # scripted dets/stream/frame
 
     rng = np.random.default_rng(0)
@@ -902,6 +902,11 @@ def main():
          lambda: bench_tracking_multistream(model, variables, chunk=8,
                                             hw=(1080, 1920), n_real=50,
                                             max_dets=64, max_tracks=128)),
+        ("mot_tracking_fps_mot16_load_multistream8_embed2",
+         lambda: bench_tracking_multistream(model, variables, chunk=8,
+                                            hw=(1080, 1920), n_real=50,
+                                            max_dets=64, max_tracks=128,
+                                            embed_every=2)),
     ):
         try:
             extra[key] = round(fn(), 1)

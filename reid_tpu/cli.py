@@ -416,6 +416,12 @@ def track_main(argv=None):
                    help="crop/embed only the top-N valid boxes per frame "
                         "(0 = every det slot); lets --max_dets 300 serve "
                         "pay only for the boxes actually present")
+    p.add_argument("--gmc", default="auto", choices=["auto", "on", "off"],
+                   help="camera-motion compensation: auto = method default "
+                        "(botsort on, others off), on = force for any "
+                        "method (upstream StrongSORT ships ecc: true; "
+                        "recommended with --embed_every on panning scenes "
+                        "— EVAL.md), off = force off")
     p.add_argument("--embed_every", type=int, default=1,
                    help="appearance cadence: embed ReID crops only on "
                         "every k-th frame; in between association is "
@@ -477,7 +483,9 @@ def track_main(argv=None):
                         crop_hw=tuple(args.crop_hw),
                         crop_downsample=args.crop_downsample,
                         frame_crop_cap=args.frame_crop_cap or None,
-                        embed_every=max(1, args.embed_every))
+                        embed_every=max(1, args.embed_every),
+                        gmc={"auto": None, "on": True,
+                             "off": False}[args.gmc])
     model = build_model(args.backbone, num_classes=args.num_classes,
                         dtype=jnp.bfloat16)
     dummy = jnp.zeros((2, *cfg.crop_hw, 3), jnp.bfloat16)

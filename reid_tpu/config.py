@@ -149,6 +149,17 @@ class TrackerConfig:
                                        # by its row/col discriminativeness gap
     aw_assoc: float = 0.75             # DeepOCSort base appearance weight in
                                        # the additive IoU - w*sim cost
+    gmc: Optional[bool] = None         # camera-motion compensation override:
+                                       # None = method default (botsort on,
+                                       # others off — the upstream submodule
+                                       # similarly defaults BoT-SORT to its
+                                       # sparse-flow GMC); True forces GMC on
+                                       # for ANY method (upstream StrongSORT
+                                       # ships ecc: true — pairs well with
+                                       # embed_every: GMC keeps the motion
+                                       # gate valid on appearance-free skip
+                                       # frames, see EVAL.md); False forces
+                                       # it off.
     fuse_min: bool = False             # BoT-SORT fused cost: min(IoU dist,
                                        # proximity-masked appearance dist)
     fuse_theta_emb: float = 0.25       # BoT-SORT appearance mask threshold

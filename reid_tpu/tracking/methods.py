@@ -61,4 +61,8 @@ def uses_appearance(cfg: TrackerConfig) -> bool:
 
 
 def uses_gmc(cfg: TrackerConfig) -> bool:
+    # cfg.gmc overrides the method default (upstream StrongSORT ships
+    # ecc: true; BoT-SORT defaults its sparse-flow GMC on)
+    if cfg.gmc is not None:
+        return bool(cfg.gmc)
     return cfg.method == "botsort"

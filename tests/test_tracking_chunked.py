@@ -282,6 +282,31 @@ def test_chunked_gmc_host_mode_matches_streaming_botsort():
     assert track_ids(pipe_b.results)[-1] == [1, 2]
 
 
+def test_gmc_override_strongsort_survives_camera_jump():
+    """cfg.gmc=True forces camera-motion compensation for a non-botsort
+    method (upstream StrongSORT ships ecc: true). With the override,
+    strongsort keeps both identities across an abrupt 24 px pan; composed
+    with embed_every=2 the skip frames' motion gate stays valid too."""
+    from reid_tpu.tracking.methods import method_config, uses_gmc
+
+    frames, tlwh, conf, valid = _panning_sequence(t=16, jump_at=8)
+    for k in (1, 2):
+        cfg = method_config("strongsort", max_tracks=16, max_dets=8,
+                            n_init=2, crop_hw=(32, 16), gmc=True,
+                            embed_every=k)
+        assert uses_gmc(cfg)
+        pipe = TrackingPipeline(cfg, _embed_fn, {}, {}, feat_dim=9,
+                                gmc_mode="device")
+        pipe.run_sequence(frames, tlwh, conf, valid, chunk=8)
+        all_ids = {int(i) for r in pipe.results
+                   for i in np.asarray(r["ids"])[np.asarray(r["valid"])]}
+        assert all_ids == {1, 2}, (k, all_ids)
+    # gmc=False forces it OFF for botsort; None keeps method defaults
+    assert not uses_gmc(method_config("botsort", gmc=False))
+    assert uses_gmc(method_config("botsort"))
+    assert not uses_gmc(method_config("strongsort"))
+
+
 def test_chunked_gmc_device_mode_survives_camera_jump():
     """Device-estimated GMC keeps identities across an abrupt 24 px pan
     (which breaks the motion gate when uncompensated)."""
