@@ -197,12 +197,13 @@ class TrackerConfig:
                                        # cadence stays static per program.
                                        # Measured (EVAL.md "Appearance
                                        # cadence"): MOT16-load fps 372->632
-                                       # at k=2; quality FREE for
-                                       # deepocsort (+0.00 MOTA, hard
-                                       # gauntlet), near-free for botsort
-                                       # (-0.16), NOT for strongsort (-6.5
-                                       # — no GMC to cover camera motion
-                                       # on the appearance-free frames).
+                                       # at k=2; hard-gauntlet quality
+                                       # neutral-or-better for EVERY
+                                       # method (strongsort +0.73 MOTA,
+                                       # deepocsort +0.00, botsort -0.16;
+                                       # bytetrack/ocsort bit-identical) —
+                                       # skip frames associate on IoU
+                                       # geometry (tracker.py cost_skip).
     frame_crop_cap: Optional[int] = None  # crop/embed only the top-cap
                                        # valid-by-confidence boxes per frame
                                        # (det SLOTS can exceed the affordable

@@ -244,6 +244,22 @@ def _update_impl(cfg: TrackerConfig, state: TrackerState,
         cost1 = jnp.where(d_iou1 > cfg.max_iou_distance, INF_COST, cost1)
     else:
         cost1 = lam * app + (1.0 - lam) * (maha / CHI2_GATE_4DOF) * cfg.max_dist
+        if not static_hf and lam > 0:
+            # SKIP frames of the embed cadence, blended form only: at
+            # neutral appearance this cost degenerates to scaled
+            # Mahalanobis, whose ranking collapses between near-twin
+            # neighbors in crowds (measured on the hard gauntlet: IDSW
+            # 229 -> 689 at embed_every=2; GMC does not help — EVAL.md).
+            # Use IoU GEOMETRY instead — the same cue the fused (BoT-SORT)
+            # and additive-AW (DeepOCSort) forms reduce to at neutral
+            # appearance, and those methods measure quality-free under
+            # cadence. Scaled so the stage-1 gate (cost < max_dist)
+            # admits exactly d_iou < max_iou_distance; the chi2 hard gate
+            # below still applies. lam == 0 methods (bytetrack/ocsort)
+            # are excluded so their cadence bit-identity holds.
+            d_iou_skip = 1.0 - iou_matrix(track_tlwh, tlwh)
+            cost_skip = d_iou_skip * (cfg.max_dist / cfg.max_iou_distance)
+            cost1 = jnp.where(has_feats, cost1, cost_skip)
     if cfg.ocm_weight > 0:
         # OCSort observation-centric momentum: angle consistency between the
         # track's velocity and the track->detection direction.
