@@ -614,6 +614,40 @@ def test_embed_every_output_identical_for_appearance_free_methods():
                                           np.asarray(b["tlwh"]))
 
 
+def test_embed_every_skip_frame_blended_form_gates_on_iou():
+    """Skip frames of the BLENDED (strongsort) form associate on IoU
+    geometry: the stage-1 gate admits exactly d_iou < max_iou_distance
+    (0.7 default). Under the old appearance-neutral rule the cost
+    degenerated to (1-lam)*scaled-maha ~ 0.0007*maha, which matched
+    ANYTHING inside the chi2 gate — measured IDSW 229 -> 689 on the hard
+    gauntlet (EVAL.md). Empirically the chi2 gate alone still passes the
+    d_iou=0.75 case below (probed on chip), so IoU is the live boundary."""
+    import jax.numpy as jnp
+    from reid_tpu.tracking.tracker import Tracker
+
+    cfg = TrackerConfig(max_tracks=4, max_dets=2, n_init=1,
+                        crop_hw=(32, 16), embed_every=2)
+    tr = Tracker(cfg, feat_dim=4)
+    f = jnp.asarray([[1.0, 0, 0, 0], [0, 0, 0, 0]])
+    z = jnp.zeros((2, 4))
+    conf = jnp.asarray([0.9, 0.0])
+    valid = jnp.asarray([True, False])
+
+    def box(x):
+        return jnp.asarray([[x, 10.0, 20, 40], [0, 0, 0, 0]])
+
+    # shift 10 -> d_iou 0.667 < 0.7: skip frame MATCHES (tsu resets)
+    # shift 12 -> d_iou 0.750 > 0.7: skip frame MISSES (tsu increments)
+    for shift, want in ((10.0, True), (12.0, False)):
+        st = tr.init_state()
+        st, _ = tr.update(st, box(10), conf, f, valid, has_feats=True)
+        st, out = tr.update(st, box(10 + shift), conf, z, valid,
+                            has_feats=False)
+        slot = int(np.argmax(np.asarray(st.track_id) == 1))
+        matched = int(np.asarray(st.time_since_update)[slot]) == 0
+        assert matched == want, (shift, np.asarray(st.time_since_update))
+
+
 def test_embed_every_skip_frame_track_init_gets_feature_later():
     """A track initiated on a SKIP frame starts with no appearance
     (gallery_count 0, neutral cost) and adopts its first real feature on
