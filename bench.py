@@ -875,6 +875,13 @@ def main():
         ("mot_tracking_fps_mot16_load_embed2_int8",
          lambda: bench_tracking_mot16_load(model, variables, int8=True,
                                            embed_every=2)),
+        # fastest known-quality point: int8 embed x 128x64 fast-crops x
+        # embed_every=2 cadence (each trade measured separately in
+        # EVAL.md; ~1.29k fps on-chip probe 2026-08-20)
+        ("mot_tracking_fps_mot16_load_embed2_int8_fastcrop",
+         lambda: bench_tracking_mot16_load(model, variables, int8=True,
+                                           crop_hw=(128, 64),
+                                           embed_every=2)),
         ("mot_tracking_fps_mot16_load_detector_in_loop",
          lambda: bench_tracking_mot16_detector_in_loop(model, variables)),
         ("mot_tracking_fps_mot16_load_detector_in_loop_int8",
